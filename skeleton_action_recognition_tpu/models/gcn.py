@@ -1,0 +1,149 @@
+"""Graph-convolution layer zoo (flax.linen, channels-last).
+
+Re-designs of the five primitives in the reference's ``models/gcn.py``
+(``GraphConv:22``, ``GraphIsoConv:54``, ``GraphIsoConvTD:112``,
+``GraphConvTD:187``, ``AdjGraphConv:212``). All layers take and return
+``(x, A)`` so downstream layers may rewrite the graph mid-network (the
+projection pools in :mod:`.stpgcnp` rely on this).
+
+Layout: activations are channels-last — ``(N, V, C)`` for the static-graph
+layers, ``(N, T, V, C)`` for the temporal (``*TD``) layers. Adjacency is
+``(V, V)``, ``(K, V, V)``, or batched ``(N, V, V)``; ``A[.., v, w]`` routes
+source ``v`` into destination ``w``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from skeleton_action_recognition_tpu.models.layers import (
+    CONV_INIT,
+    PointwiseMLP,
+)
+
+
+def _adjacency_einsum(x, a):
+    """Contract node axis of ``(..., V, C)`` with ``A``s trailing ``(V, W)``."""
+    if a.ndim == 2:
+        return jnp.einsum("...vc,vw->...wc", x, a)
+    if a.ndim == 3 and a.shape[0] == x.shape[0]:
+        return jnp.einsum("n...vc,nvw->n...wc", x, a)
+    raise ValueError(f"unsupported adjacency shape {a.shape}")
+
+
+class GraphConv(nn.Module):
+    """1x1 conv then adjacency contraction (``models/gcn.py:22-36``).
+
+    Input ``(N, V, C)``; adjacency ``(V, V)`` shared or ``(N, V, V)``
+    per-sample (the reference's ``'ncv,nvw->ncw'`` einsum is per-sample).
+    """
+
+    filters: int
+
+    @nn.compact
+    def __call__(self, x, a, train: bool = False):
+        x = nn.Dense(self.filters, kernel_init=CONV_INIT)(x)
+        x = _adjacency_einsum(x, a)
+        return x, a
+
+
+class GraphIsoConv(nn.Module):
+    """GIN conv: ``(A + (1+eps) I)`` aggregation then MLP
+    (``models/gcn.py:54-93``)."""
+
+    features: Sequence[int]
+    return_logits: bool = False
+
+    @nn.compact
+    def __call__(self, x, a, train: bool = False):
+        eps = self.param(
+            "epsilon", nn.initializers.zeros, (), jnp.float32
+        )
+        v = a.shape[-1]
+        a_hat = a + (1.0 + eps) * jnp.eye(v, dtype=x.dtype)
+        x = _adjacency_einsum(x, a_hat)
+        x = PointwiseMLP(
+            tuple(self.features), return_logits=self.return_logits
+        )(x, train)
+        return x, a
+
+
+class GraphIsoConvTD(nn.Module):
+    """GIN conv over ``(N, T, V, C)`` with per-partition MLPs
+    (``models/gcn.py:112-163``).
+
+    The binary adjacency stack ``(K-1, V, V)`` is extended with a
+    ``(1 + eps) I`` partition (appended last, matching the reference's
+    concat order), each partition gets its own MLP, and partition outputs
+    are summed.
+    """
+
+    features: Sequence[int]
+    kernel_size: int = 3
+    return_logits: bool = False
+
+    @nn.compact
+    def __call__(self, x, a, train: bool = False):
+        eps = self.param(
+            "epsilon", nn.initializers.zeros, (), jnp.float32
+        )
+        v = a.shape[-1]
+        self_loop = (1.0 + eps) * jnp.eye(v, dtype=x.dtype)
+        a_full = jnp.concatenate([a, self_loop[None]], axis=0)
+        agg = jnp.einsum("ntvc,kvw->kntwc", x, a_full)
+        out = 0.0
+        for k in range(self.kernel_size):
+            out = out + PointwiseMLP(
+                tuple(self.features),
+                return_logits=self.return_logits,
+                name=f"mlp_{k}",
+            )(agg[k], train)
+        return out, a
+
+
+class GraphConvTD(nn.Module):
+    """ST-GCN spatial conv (``models/gcn.py:187-209``).
+
+    One 1x1 conv produces ``K * filters`` channels (partition-major), which
+    are contracted against the ``(K, V, V)`` spatial-partition stack:
+    ``out[.., w, c] = sum_k sum_v A[k, v, w] z[.., v, k, c]``.
+    """
+
+    filters: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, a, train: bool = False):
+        z = nn.Dense(
+            self.filters * self.kernel_size, kernel_init=CONV_INIT
+        )(x)
+        z = z.reshape(z.shape[:-1] + (self.kernel_size, self.filters))
+        x = jnp.einsum("ntvko,kvw->ntwo", z, a)
+        return x, a
+
+
+class AdjGraphConv(nn.Module):
+    """``GraphConvTD`` with its own *trainable* adjacency
+    (``models/gcn.py:212-238``).
+
+    The parameter is named ``adjacency_matrix`` so the trainer's
+    freeze-graph-until mask (``main_gnn.py:228-232``) applies to it.
+    """
+
+    filters: int
+    adjacency_init: np.ndarray  # (K, V, V)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = self.param(
+            "adjacency_matrix",
+            lambda rng: jnp.asarray(self.adjacency_init, jnp.float32),
+        )
+        k = a.shape[0]
+        z = nn.Dense(self.filters * k, kernel_init=CONV_INIT)(x)
+        z = z.reshape(z.shape[:-1] + (k, self.filters))
+        return jnp.einsum("ntvko,kvw->ntwo", z, a)

@@ -1,0 +1,123 @@
+"""Short-time Fourier transform as windowed-basis matmuls.
+
+The reference computes spectrograms with nnAudio's ``STFT`` — a conv1d whose
+kernels are windowed Fourier bases (imported at
+``layers/virtual_radar.py:3``, configured at ``:71-76``: ``n_fft=256``,
+``freq_bins=n_fft``, ``hop_length=16``, Hann window, centered with reflect
+padding). On TPU the same computation is a strided convolution whose
+channel count is ``2 * freq_bins`` — XLA lowers it to patch-extraction plus
+one MXU matmul.
+
+Complex input is handled with the same identity the reference documents at
+``layers/virtual_radar.py:27-34``:
+
+    ``stft(a + bj) = (Re_a - Im_b) + (Im_a + Re_b) j``
+
+which collapses here into a single fused basis contraction over the two real
+channels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def stft_basis(
+    n_fft: int,
+    freq_bins: int | None = None,
+    window: str = "hann",
+    dtype=np.float32,
+):
+    """Windowed Fourier bases ``(cos, sin)`` each of shape ``(freq_bins, n_fft)``.
+
+    nnAudio-compatible: bin ``k`` is frequency ``k / n_fft`` cycles/sample,
+    window from ``scipy.signal.get_window(window, n_fft, fftbins=True)``
+    (periodic Hann by default). ``STFT(x)[k] = sum_n x[n] cos(...) -
+    j sum_n x[n] sin(...)``.
+    """
+    from scipy.signal import get_window
+
+    if freq_bins is None:
+        freq_bins = n_fft
+    win = get_window(window, n_fft, fftbins=True)
+    k = np.arange(freq_bins)[:, None]
+    n = np.arange(n_fft)[None, :]
+    arg = 2.0 * np.pi * k * n / n_fft
+    cos = (np.cos(arg) * win).astype(dtype)
+    sin = (np.sin(arg) * win).astype(dtype)
+    return cos, sin
+
+
+def _frame_matmul(x, basis, hop: int, center: bool):
+    """Contract windowed bases against strided frames of ``x``.
+
+    Args:
+      x: ``(..., T)`` real signal.
+      basis: ``(F, n_fft)``.
+      hop: frame stride.
+      center: reflect-pad ``n_fft // 2`` both sides first (nnAudio default),
+        giving ``T // hop + 1`` frames.
+
+    Returns:
+      ``(..., F, frames)``.
+    """
+    n_fft = basis.shape[-1]
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    if center:
+        pad = n_fft // 2
+        x2 = jnp.pad(x2, ((0, 0), (pad, pad)), mode="reflect")
+    # (B, T, 1) conv (n_fft, 1, F) stride hop -> (B, frames, F)
+    out = jax.lax.conv_general_dilated(
+        x2[..., None],
+        basis.T[:, None, :],
+        window_strides=(hop,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = jnp.moveaxis(out, -1, -2)  # (B, F, frames)
+    return out.reshape(lead + out.shape[1:])
+
+
+def stft_real(x, hop: int, cos, sin, center: bool = True):
+    """STFT of a real signal -> ``(real, imag)`` each ``(..., F, frames)``."""
+    return _frame_matmul(x, cos, hop, center), -_frame_matmul(
+        x, sin, hop, center
+    )
+
+
+def stft_complex(re, im, hop: int, cos, sin, center: bool = True):
+    """STFT of a complex signal given as two real channels.
+
+    Implements the complex-via-two-real-STFTs identity of
+    ``layers/virtual_radar.py:27-34`` with the four basis contractions done
+    directly:
+
+      ``Re_out = re*cos + im*sin``,  ``Im_out = -re*sin + im*cos``.
+    """
+    re_cos = _frame_matmul(re, cos, hop, center)
+    re_sin = _frame_matmul(re, sin, hop, center)
+    im_cos = _frame_matmul(im, cos, hop, center)
+    im_sin = _frame_matmul(im, sin, hop, center)
+    return re_cos + im_sin, im_cos - re_sin
+
+
+def log_magnitude(re, im, eps: float = 1e-6, fftshift: bool = True):
+    """``log(|S| + eps)``, optionally rolled so zero Doppler is centered.
+
+    Matches ``layers/virtual_radar.py:131-133``: L2 magnitude over
+    (real, imag), ``log(. + 1e-6)``, then ``roll(n_fft // 2)`` along the
+    frequency axis (axis ``-2``).
+    """
+    mag = jnp.sqrt(re * re + im * im)
+    out = jnp.log(mag + eps)
+    if fftshift:
+        out = jnp.roll(out, out.shape[-2] // 2, axis=-2)
+    return out

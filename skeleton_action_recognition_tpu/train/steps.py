@@ -1,0 +1,111 @@
+"""Jittable train/eval steps for the GNN and spectrogram stacks.
+
+One compiled XLA program per step (vs the reference's ``@tf.function``
+``train_step``/``test_step`` at ``main_gnn.py:205-239``). Data parallelism
+is *not* expressed here — the caller shards the batch and replicates the
+state via ``jax.sharding`` annotations; gradient all-reduce appears
+automatically as XLA collectives when the step is jitted over a mesh.
+
+The adjacency-freeze behavior of ``main_gnn.py:228-232`` (vars named
+``adjacency_matrix`` excluded from updates until ``epoch >
+freeze_graph_until``) is reproduced by zeroing those gradients under a
+runtime ``train_adj`` flag — keeping a single compiled program for both
+phases (no retrace at the unfreeze epoch, unlike TF).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from skeleton_action_recognition_tpu.train.losses import total_loss
+
+
+def _path_has(path, needle: str) -> bool:
+    for p in path:
+        key = getattr(p, "key", getattr(p, "name", None))
+        if key is not None and needle in str(key):
+            return True
+    return False
+
+
+def mask_gradients_by_name(grads, needle: str, enabled):
+    """Scale gradients of params whose path contains ``needle`` by
+    ``enabled`` (a traced 0/1 scalar)."""
+    scale = jnp.asarray(enabled, jnp.float32)
+
+    def mask(path, g):
+        if _path_has(path, needle):
+            return g * scale
+        return g
+
+    return jax.tree_util.tree_map_with_path(mask, grads)
+
+
+def make_train_step(
+    global_batch_size: int,
+    l2_weight: float = 0.0,
+    freeze_name: str = "adjacency_matrix",
+):
+    """Build the jittable GNN train step.
+
+    Returns ``step(state, batch_x, batch_y_onehot, train_adj) -> (state,
+    metrics)`` where metrics carries summed statistics (loss numerator,
+    correct counts) that the caller may aggregate across steps/devices.
+    """
+
+    def step(state, x, y, train_adj):
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = total_loss(
+                logits, y, params, global_batch_size, l2_weight
+            )
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = mask_gradients_by_name(grads, freeze_name, train_adj)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+
+        labels = jnp.argmax(y, axis=-1)
+        top1 = jnp.sum(jnp.argmax(logits, axis=-1) == labels)
+        top5_preds = jax.lax.top_k(logits, 5)[1]
+        top5 = jnp.sum(jnp.any(top5_preds == labels[:, None], axis=-1))
+        metrics = {
+            "loss": loss,
+            "correct": top1,
+            "correct_top5": top5,
+            "count": jnp.asarray(x.shape[0], jnp.int32),
+        }
+        return state, metrics
+
+    return step
+
+
+def make_eval_step():
+    """Forward-only step returning softmax probabilities
+    (``main_gnn.py:205-208``)."""
+
+    def step(state, x):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+        )
+        return jax.nn.softmax(logits, axis=-1)
+
+    return step
+
+
+# simple default for interactive use
+eval_step = make_eval_step()

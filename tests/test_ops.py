@@ -1,0 +1,151 @@
+"""Kernel-level numerics: resample operators, STFT, graph einsums."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skeleton_action_recognition_tpu import ops
+
+
+def test_gaussian_smooth_matrix_matches_scipy():
+    from scipy.ndimage import gaussian_filter1d
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(50, 7))
+    w = ops.gaussian_smooth_matrix(50, 3.0)
+    np.testing.assert_allclose(
+        w @ y, gaussian_filter1d(y, 3.0, axis=0), atol=1e-12
+    )
+
+
+def test_cubic_interp_matrix_matches_scipy():
+    from scipy.interpolate import interp1d
+
+    rng = np.random.default_rng(1)
+    y = rng.normal(size=(30, 5))
+    f = interp1d(np.linspace(0, 1, 30), y, "cubic", axis=0)
+    expected = f(np.linspace(0, 1, 150))
+    w = ops.cubic_interp_matrix(30, 150)
+    np.testing.assert_allclose(w @ y, expected, atol=1e-10)
+
+
+def test_pad_frames_matches_reference_dataset_variant():
+    """utils.py:134-140 — smooth over time then cubic-upsample."""
+    from scipy.interpolate import interp1d
+    from scipy.ndimage import gaussian_filter1d
+
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=(40, 25, 3)).astype(np.float32)
+    f = interp1d(
+        np.linspace(0, 1, 40),
+        gaussian_filter1d(data, 3, axis=-3),
+        "cubic",
+        axis=-3,
+    )
+    expected = f(np.linspace(0, 1, 4 * 40))
+    got = ops.pad_frames(
+        jnp.asarray(data), num_pad_frames=4, smooth_axis="time"
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
+
+
+def test_pad_frames_matches_reference_notebook_variant():
+    """utils.py:82-89 — smooths over the *joint* axis (axis=1)."""
+    from scipy.interpolate import interp1d
+    from scipy.ndimage import gaussian_filter1d
+
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(40, 25, 3))
+    f = interp1d(
+        np.linspace(0, 1, 40),
+        gaussian_filter1d(data, 3, axis=1),
+        "cubic",
+        axis=-3,
+    )
+    expected = f(np.linspace(0, 1, 4 * 40))
+    got = ops.pad_frames(
+        jnp.asarray(data.astype(np.float32)),
+        num_pad_frames=4,
+        smooth_axis="joints",
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
+
+
+def test_stft_matches_scipy_spectrogram():
+    """Cross-check vs scipy, the reference's own numerics oracle
+    (notebook cell 8 re-implements the layer STFT with scipy.signal)."""
+    from scipy import signal as ssig
+
+    rng = np.random.default_rng(4)
+    n_fft, hop, t = 256, 16, 4096
+    x = rng.normal(size=(t,)).astype(np.float32)
+
+    cos, sin = ops.stft_basis(n_fft)
+    re, im = ops.stft_real(jnp.asarray(x), hop, jnp.asarray(cos), jnp.asarray(sin))
+
+    win = ssig.get_window("hann", n_fft, fftbins=True)
+    # scipy stft with boundary padding equivalent to center/reflect differs;
+    # compare the interior frames against a manual framed DFT instead.
+    pad = np.pad(x, n_fft // 2, mode="reflect")
+    frames = np.lib.stride_tricks.sliding_window_view(pad, n_fft)[::hop]
+    ref = np.fft.fft(frames * win, axis=-1)  # (F_frames, n_fft)
+    np.testing.assert_allclose(
+        np.asarray(re).T, ref.real, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(im).T, ref.imag, atol=2e-2
+    )
+
+
+def test_stft_complex_identity():
+    """stft(a + bj) recombination identity (virtual_radar.py:27-34)."""
+    rng = np.random.default_rng(5)
+    t, n_fft, hop = 2048, 256, 16
+    a = rng.normal(size=(t,))
+    b = rng.normal(size=(t,))
+
+    cos, sin = ops.stft_basis(n_fft)
+    cos_j, sin_j = jnp.asarray(cos), jnp.asarray(sin)
+    re, im = ops.stft_complex(
+        jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+        hop, cos_j, sin_j,
+    )
+
+    pad_a = np.pad(a, n_fft // 2, mode="reflect")
+    pad_b = np.pad(b, n_fft // 2, mode="reflect")
+    frames = (
+        np.lib.stride_tricks.sliding_window_view(pad_a + 1j * pad_b, n_fft)[
+            ::hop
+        ]
+    )
+    win = ops.stft_basis(n_fft)[0][0] * 0 + np.hanning(n_fft + 1)[:-1]
+    ref = np.fft.fft(frames * win, axis=-1)
+    np.testing.assert_allclose(np.asarray(re).T, ref.real, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(im).T, ref.imag, atol=2e-2)
+
+
+def test_spatial_graph_conv_equals_naive():
+    rng = np.random.default_rng(6)
+    n, t, v, ci, k, co = 2, 5, 25, 3, 3, 8
+    x = rng.normal(size=(n, t, v, ci)).astype(np.float32)
+    w = rng.normal(size=(ci, k, co)).astype(np.float32)
+    a = rng.normal(size=(k, v, v)).astype(np.float32)
+
+    got = ops.spatial_graph_conv(jnp.asarray(x), jnp.asarray(w), jnp.asarray(a))
+    # naive: conv then reference einsum 'nkctv,kvw->nctw' transposed to our layout
+    z = np.einsum("ntvi,iko->nkotv", x, w)
+    expected = np.einsum("nkotv,kvw->ntwo", z, a)
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
+
+
+def test_gin_aggregate_appends_selfloop_last():
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 4, 6, 5)).astype(np.float32)
+    a = (rng.random(size=(2, 6, 6)) > 0.5).astype(np.float32)
+    eps = 0.3
+    got = ops.gin_aggregate(jnp.asarray(x), jnp.asarray(a), eps)
+    assert got.shape == (2, 4, 3, 6, 5)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, -1], (1 + eps) * x, atol=1e-5
+    )
