@@ -1,0 +1,260 @@
+"""GNN trainer CLI — TPU-native equivalent of the reference ``main_gnn.py``.
+
+Same flag surface (``main_gnn.py:25-77``) plus TPU extras (``--resume``,
+``--l2-weight``, ``--profile-dir``, ``--precision``). Differences by
+design:
+
+* distribution is a ``jax.sharding`` mesh + jitted step (gradient psum
+  over ICI), not ``MirroredStrategy``;
+* checkpoints (Orbax) actually restore — ``--resume`` continues from the
+  latest snapshot (the reference saves but can never load,
+  ``main_gnn.py:315-318``);
+* one warm-up step is traced to TensorBoard-compatible profiler output
+  when ``--profile-dir`` is set (the ``tf.summary.trace_on`` pattern at
+  ``main_gnn.py:336-354``).
+
+Run:
+    python -m skeleton_action_recognition_tpu.cli.main_gnn \
+        --model stgcn --train-data-path ... --test-data-path ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from skeleton_action_recognition_tpu import parallel
+from skeleton_action_recognition_tpu.data.pipeline import TFRecordDataset
+from skeleton_action_recognition_tpu.train import (
+    checkpoint as ckpt_lib,
+    metrics as metrics_lib,
+    schedules,
+    steps as steps_lib,
+    train_state as ts_lib,
+)
+from skeleton_action_recognition_tpu.utils import (
+    config as config_lib,
+    confusion as confusion_lib,
+    tb_writer,
+)
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description=(
+            "Graph Convolutional Neural Network for Skeleton-Based "
+            "Action Recognition (TPU)"
+        )
+    )
+    parser.add_argument("--model", required=True, help="model used to train")
+    parser.add_argument("--base-lr", type=float, default=1e-1)
+    parser.add_argument("--num-classes", type=int, default=60)
+    parser.add_argument(
+        "--batch-size", type=int, default=64, help="per-chip batch size"
+    )
+    parser.add_argument("--num-epochs", type=int, default=80)
+    parser.add_argument("--save-freq", type=int, default=10)
+    parser.add_argument(
+        "--freeze-graph-until",
+        type=int,
+        default=80,
+        help="adjacency matrices train only after this epoch",
+    )
+    parser.add_argument("--log-dir", default="logs/")
+    parser.add_argument(
+        "--train-data-path", default="data/ntu/xview/train_data_joint"
+    )
+    parser.add_argument(
+        "--test-data-path", default="data/ntu/xview/val_data_joint"
+    )
+    parser.add_argument("--notes", default="")
+    parser.add_argument(
+        "--steps", type=int, default=[10, 50], nargs="+",
+        help="epochs at which LR decays 10x",
+    )
+    # TPU-native extras
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument(
+        "--l2-weight", type=float, default=0.0,
+        help="L2 penalty over conv kernels (reference declares 1e-4 but "
+        "never applies it; 0 = reference behavior)",
+    )
+    parser.add_argument("--profile-dir", default="")
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+def build_log_dir(arg) -> str:
+    run_params = dict(vars(arg))
+    for k in (
+        "train_data_path", "test_data_path", "log_dir", "save_freq",
+        "freeze_graph_until", "resume", "profile_dir", "seed",
+    ):
+        run_params.pop(k, None)
+    name = config_lib.run_name_from_args(run_params, notes=arg.notes)
+    return os.path.join(arg.log_dir, name)
+
+
+def main(argv=None):
+    arg = get_parser().parse_args(argv)
+    mesh = parallel.create_mesh()
+    dp = parallel.DataParallel(mesh)
+    num_replicas = mesh.devices.size
+    global_batch = arg.batch_size * num_replicas
+
+    log_dir = build_log_dir(arg)
+    arg.log_dir = log_dir
+    config_lib.save_arg(vars(arg), log_dir)
+
+    model_cls = config_lib.import_class(
+        "skeleton_action_recognition_tpu.models." + arg.model
+    ).Model
+    config_lib.snapshot_sources(log_dir, [model_cls])
+    model = model_cls(num_classes=arg.num_classes)
+
+    train_data = TFRecordDataset(
+        arg.train_data_path,
+        batch_size=global_batch,
+        num_classes=arg.num_classes,
+        shuffle=True,
+        drop_remainder=True,
+        seed=arg.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    test_data = TFRecordDataset(
+        arg.test_data_path,
+        batch_size=global_batch,
+        num_classes=arg.num_classes,
+        shuffle=False,
+    )
+
+    boundaries = schedules.reference_gnn_boundaries(
+        arg.steps, arg.batch_size
+    )
+    lr = schedules.piecewise_constant(arg.base_lr, boundaries)
+    tx = optax.sgd(lr, momentum=0.9, nesterov=True)
+
+    sample, _ = next(iter(train_data.batches()))
+    state = ts_lib.create_train_state(
+        model, jax.random.key(arg.seed), jnp.asarray(sample), tx
+    )
+
+    manager = ckpt_lib.CheckpointManager(
+        os.path.join(log_dir, "checkpoints")
+    )
+    start_epoch = 0
+    if arg.resume:
+        state, extra, step = manager.restore(state)
+        if step is not None:
+            start_epoch = (extra or {}).get("epoch", 0) + 1
+            print(f"resumed from step {step} (epoch {start_epoch})")
+
+    state = dp.shard_state(state)
+    train_step = dp.jit_train_step(
+        steps_lib.make_train_step(global_batch, arg.l2_weight)
+    )
+    eval_step = dp.jit_eval_step(steps_lib.make_eval_step())
+
+    writer = tb_writer.SummaryWriter(log_dir)
+    ce_m = metrics_lib.Mean()
+    acc_m = metrics_lib.Accuracy()
+    acc5_m = metrics_lib.Accuracy()
+
+    if arg.profile_dir:
+        xb, yb = next(iter(train_data.batches()))
+        with jax.profiler.trace(arg.profile_dir):
+            state, _ = train_step(
+                state, jnp.asarray(xb), jnp.asarray(yb), False
+            )
+        print(f"profiler trace written to {arg.profile_dir}")
+
+    train_iter = 0
+    test_iter = 0
+    for epoch in range(start_epoch, arg.num_epochs):
+        print(f"Epoch: {epoch + 1}")
+        t0 = time.time()
+        samples = 0
+        for xb, yb in train_data.batches():
+            state, m = train_step(
+                state,
+                jnp.asarray(xb),
+                jnp.asarray(yb),
+                epoch > arg.freeze_graph_until,
+            )
+            ce_m.update(float(m["loss"]))
+            acc_m.update(int(m["correct"]), int(m["count"]))
+            acc5_m.update(int(m["correct_top5"]), int(m["count"]))
+            samples += int(m["count"])
+            writer.add_scalar(
+                "cross_entropy_loss", ce_m.result(), train_iter
+            )
+            writer.add_scalar("train_acc", acc_m.result(), train_iter)
+            writer.add_scalar(
+                "train_acc_top_5", acc5_m.result(), train_iter
+            )
+            ce_m.reset(), acc_m.reset(), acc5_m.reset()
+            train_iter += 1
+        dt = time.time() - t0
+        print(
+            f"  train: {samples} clips in {dt:.1f}s "
+            f"({samples / max(dt, 1e-9):.1f} clips/s)"
+        )
+
+        cm = metrics_lib.ConfusionMatrix(arg.num_classes)
+        epoch_acc = metrics_lib.Accuracy()
+        epoch_acc5 = metrics_lib.Accuracy()
+        for xb, yb in test_data.batches():
+            n = len(xb)
+            if n < global_batch:
+                # pad the final partial batch so the sharded eval step keeps
+                # one compiled shape; surplus rows are sliced off below
+                xb = np.concatenate(
+                    [xb, np.zeros((global_batch - n,) + xb.shape[1:],
+                                  xb.dtype)]
+                )
+            probs = np.asarray(eval_step(state, jnp.asarray(xb)))[:n]
+            labels = yb.argmax(-1)
+            preds = probs.argmax(-1)
+            top5 = np.argsort(probs, axis=-1)[:, -5:]
+            epoch_acc.update(int((preds == labels).sum()), len(labels))
+            epoch_acc5.update(
+                int((top5 == labels[:, None]).any(-1).sum()), len(labels)
+            )
+            cm.update(labels, preds)
+            writer.add_scalar("test_acc", epoch_acc.result(), test_iter)
+            writer.add_scalar(
+                "test_acc_top_5", epoch_acc5.result(), test_iter
+            )
+            test_iter += 1
+        writer.add_scalar("epoch_test_acc", epoch_acc.result(), epoch)
+        writer.add_scalar(
+            "epoch_test_acc_top_5", epoch_acc5.result(), epoch
+        )
+        print(
+            f"  test: top1 {epoch_acc.result():.4f} "
+            f"top5 {epoch_acc5.result():.4f}"
+        )
+
+        if (epoch + 1) % arg.save_freq == 0:
+            png, h, w = confusion_lib.confusion_matrix_png(cm.result())
+            writer.add_image_png(
+                "Test Confusion Matrix", png, h, w, epoch
+            )
+            manager.save(epoch, jax.device_get(state), {"epoch": epoch})
+            print(f"  checkpoint saved at epoch {epoch + 1}")
+
+    manager.save(arg.num_epochs, jax.device_get(state),
+                 {"epoch": arg.num_epochs - 1})
+    writer.close()
+    manager.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,8 +26,12 @@ import numpy as np
 from skeleton_action_recognition_tpu.graphs.ntu_rgb_d import RADAR_EDGES
 from skeleton_action_recognition_tpu.models.resnet18 import ResNet
 from skeleton_action_recognition_tpu.ops import stft as stft_ops
+from skeleton_action_recognition_tpu.ops.resample import (
+    pad_frames_operator,
+)
 from skeleton_action_recognition_tpu.ops.virtual_radar import (
     radar_return,
+    radar_return_upsampled,
 )
 
 
@@ -53,6 +57,8 @@ class VirtualRadar(nn.Module):
     n_fft: int = 256
     hop_length: int = 16
     train_stft_kernel: bool = False
+    num_pad_frames: int = 0
+    pad_sigma: float = 3.0
 
     @nn.compact
     def __call__(self, x):
@@ -71,7 +77,17 @@ class VirtualRadar(nn.Module):
         else:
             cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
-        re, im = radar_return(x, loc, lam, self.edges)
+        if self.num_pad_frames > 1:
+            # On-device fused upsample+radar (the reference does the 250x
+            # interpolation on CPU loader workers, utils.py:134-140).
+            w = jnp.asarray(
+                pad_frames_operator(
+                    x.shape[2], self.num_pad_frames, self.pad_sigma
+                )
+            )
+            re, im = radar_return_upsampled(x, w, loc, lam, self.edges)
+        else:
+            re, im = radar_return(x, loc, lam, self.edges)
         s_re, s_im = stft_ops.stft_complex(
             re, im, self.hop_length, cos, sin
         )
@@ -87,12 +103,14 @@ class Model(nn.Module):
     image_size: int = 256
     wavelength: float = 5e-4
     train_stft_kernel: bool = False
+    num_pad_frames: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         spec = VirtualRadar(
             wavelength=self.wavelength,
             train_stft_kernel=self.train_stft_kernel,
+            num_pad_frames=self.num_pad_frames,
             name="virtual_radar",
         )(x)
         spec = nearest_resize_torch(spec, self.image_size, self.image_size)

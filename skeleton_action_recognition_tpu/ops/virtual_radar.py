@@ -66,10 +66,24 @@ def radar_return(
     dst = x[:, :, :, dst_idx]
     loc = radar_location[None, :, None, None, None]
 
-    rev = src - loc  # radar -> ellipsoid vector (sign-free uses below)
-    distances = jnp.linalg.norm(rev, axis=1)  # (N, T, E, M)
+    # c = (mean_t bone length)^2, kept per (N, 1, E, M).
+    c = (
+        jnp.mean(jnp.linalg.norm(dst - src, axis=1), axis=1, keepdims=True)
+        ** 2
+    )
+    return _edge_returns(src, dst, loc, radar_location, wavelength, c)
 
-    a_vec = loc - (src + dst) / 2.0
+
+def _edge_returns(src, dst, loc_b, radar_location, wavelength, c):
+    """Per-timestep complex returns given gathered edge endpoints.
+
+    ``src``/``dst``: ``(N, 3, T, E, M)``; ``c``: precomputed
+    ``(N, 1, E, M)`` squared mean bone length. Returns ``(re, im)`` summed
+    over edges and bodies, each ``(N, T)``.
+    """
+    rev = src - loc_b
+    distances = jnp.linalg.norm(rev, axis=1)
+    a_vec = loc_b - (src + dst) / 2.0
     b_vec = dst - src
     cos_theta = jnp.sum(a_vec * b_vec, axis=1) / (
         jnp.linalg.norm(a_vec, axis=1) * jnp.linalg.norm(b_vec, axis=1) + 1e-6
@@ -79,23 +93,107 @@ def radar_return(
         jnp.linalg.norm(rev[:, :2], axis=1) + 1e-6
     )
     phi = jnp.arcsin(jnp.clip(sin_phi, -1.0, 1.0))
-
-    # c = (mean_t bone length)^2, kept per (N, 1, E, M).
-    c = jnp.mean(jnp.linalg.norm(b_vec, axis=1), axis=1, keepdims=True) ** 2
     sin_t2 = jnp.sin(theta) ** 2
-    cos_t2 = jnp.cos(theta) ** 2
     denom = (
         sin_t2 * jnp.cos(phi) ** 2
         + sin_t2 * jnp.sin(phi) ** 2
-        + c * cos_t2
+        + c * jnp.cos(theta) ** 2
     ) ** 2
-    rcs = (np.pi * c) / denom
-
-    amp = jnp.sqrt(rcs)
+    amp = jnp.sqrt((np.pi * c) / denom)
     phase = 4.0 * np.pi * distances / wavelength
-
-    re = jnp.sum(amp * jnp.cos(phase), axis=(2, 3))  # (N, T)
+    re = jnp.sum(amp * jnp.cos(phase), axis=(2, 3))
     im = jnp.sum(amp * jnp.sin(phase), axis=(2, 3))
+    return re, im
+
+
+def _pick_tile(t_out: int, target: int = 1536) -> int:
+    """Largest divisor of ``t_out`` not exceeding ``target``."""
+    best = 1
+    for d in range(1, target + 1):
+        if t_out % d == 0:
+            best = d
+    return best
+
+
+def radar_return_upsampled(
+    x_raw,
+    pad_operator,
+    radar_location,
+    wavelength,
+    edges: Sequence[Tuple[int, int]] = tuple(RADAR_EDGES),
+    tile: int | None = None,
+):
+    """Radar return with the cubic time-upsampling fused on-device.
+
+    The reference inflates clips 250x on CPU loader workers
+    (``utils.py:134-140``) *before* the radar layer; materializing that
+    here would cost gigabytes of HBM per batch
+    (``(N, 3, 75000, V, M)``). Instead the padded time axis is produced
+    tile-by-tile inside a ``lax.scan``: each tile is one
+    ``(tile, T_in)`` slice of the resampling operator contracted against
+    the *gathered edge endpoints*, immediately reduced to the ``(N, tile)``
+    complex signal — peak temporary memory drops from O(T_out * V) to
+    O(tile * E).
+
+    Two passes are needed because the RCS uses the *time-mean* bone length
+    over the padded sequence (``virtual_radar.py:110-113``): pass 1
+    accumulates mean bone lengths, pass 2 emits the signal.
+
+    Args:
+      x_raw: ``(N, 3, T_in, V, M)`` un-padded joints.
+      pad_operator: ``(T_out, T_in)`` smoothing+interpolation matrix
+        (see :func:`..resample.pad_frames_operator`).
+      tile: T_out tile length (must divide T_out; auto-picked if None).
+
+    Returns:
+      ``(re, im)`` each ``(N, T_out)``.
+    """
+    from jax import lax
+
+    src_idx = np.asarray([e[0] for e in edges])
+    dst_idx = np.asarray([e[1] for e in edges])
+    t_out = pad_operator.shape[0]
+    if tile is None:
+        tile = _pick_tile(t_out)
+    if t_out % tile:
+        raise ValueError(f"tile {tile} must divide T_out {t_out}")
+    num_tiles = t_out // tile
+
+    src_raw = x_raw[:, :, :, src_idx]  # (N, 3, T_in, E, M)
+    dst_raw = x_raw[:, :, :, dst_idx]
+    w = pad_operator.reshape(num_tiles, tile, -1)
+    loc_b = radar_location[None, :, None, None, None]
+
+    def interp(w_tile, raw):
+        return jnp.einsum(
+            "ot,nctem->ncoem", w_tile, raw,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    # pass 1: accumulate sum of bone lengths over padded time
+    def length_pass(carry, w_tile):
+        bone = interp(w_tile, dst_raw - src_raw)
+        return carry + jnp.sum(
+            jnp.linalg.norm(bone, axis=1), axis=1
+        ), None
+
+    n, _, _, e, m = src_raw.shape
+    len_sum, _ = lax.scan(
+        length_pass, jnp.zeros((n, e, m), x_raw.dtype), w
+    )
+    c = (len_sum / t_out)[:, None] ** 2  # (N, 1, E, M)
+
+    # pass 2: emit signal tiles
+    def signal_pass(_, w_tile):
+        src = interp(w_tile, src_raw)
+        dst = interp(w_tile, dst_raw)
+        return None, _edge_returns(
+            src, dst, loc_b, radar_location, wavelength, c
+        )
+
+    _, (re_tiles, im_tiles) = lax.scan(signal_pass, None, w)
+    re = jnp.moveaxis(re_tiles, 0, 1).reshape(n, t_out)
+    im = jnp.moveaxis(im_tiles, 0, 1).reshape(n, t_out)
     return re, im
 
 

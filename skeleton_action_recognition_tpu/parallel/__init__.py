@@ -1,0 +1,17 @@
+"""Device-mesh construction and sharding policies."""
+
+from skeleton_action_recognition_tpu.parallel.mesh import (
+    create_mesh,
+    local_device_count,
+)
+from skeleton_action_recognition_tpu.parallel.sharding import (
+    DataParallel,
+    shard_batch,
+)
+
+__all__ = [
+    "DataParallel",
+    "create_mesh",
+    "local_device_count",
+    "shard_batch",
+]

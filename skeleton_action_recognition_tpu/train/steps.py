@@ -79,7 +79,7 @@ def make_train_step(
 
         labels = jnp.argmax(y, axis=-1)
         top1 = jnp.sum(jnp.argmax(logits, axis=-1) == labels)
-        top5_preds = jax.lax.top_k(logits, 5)[1]
+        top5_preds = jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
         top5 = jnp.sum(jnp.any(top5_preds == labels[:, None], axis=-1))
         metrics = {
             "loss": loss,
@@ -103,6 +103,51 @@ def make_eval_step():
             train=False,
         )
         return jax.nn.softmax(logits, axis=-1)
+
+    return step
+
+
+def make_radar_train_step(global_batch_size: int):
+    """Train step for the spectrogram stack (``main_spectrogram.py``
+    semantics): mean-reduced CE (torch ``CrossEntropyLoss``), Adam driven
+    by the caller's optimizer, and *staged unfreezing* of the radar
+    parameters — ``train_lambda`` / ``train_loc`` runtime flags gate the
+    ``radar_lambda`` / ``radar_loc`` gradients, reproducing what the
+    reference's epoch-gated ``requires_grad`` toggles intended
+    (``main_spectrogram.py:128-136``; a silent no-op there because the
+    names never match — see :mod:`..models.spectrogram`).
+    """
+
+    def step(state, x, y, train_lambda, train_loc):
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            ce = jnp.sum(
+                -jnp.sum(jax.nn.log_softmax(logits) * y, axis=-1)
+            ) / global_batch_size
+            return ce, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = mask_gradients_by_name(grads, "radar_lambda", train_lambda)
+        grads = mask_gradients_by_name(grads, "radar_loc", train_loc)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+
+        labels = jnp.argmax(y, axis=-1)
+        preds = jnp.argmax(logits, axis=-1)
+        metrics = {
+            "loss": loss,
+            "correct": jnp.sum(preds == labels),
+            "count": jnp.asarray(x.shape[0], jnp.int32),
+            "preds": preds,
+        }
+        return state, metrics
 
     return step
 

@@ -1,0 +1,79 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from skeleton_action_recognition_tpu import parallel
+from skeleton_action_recognition_tpu.models import stgcn
+from skeleton_action_recognition_tpu.train import (
+    create_train_state,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def test_create_mesh_shapes(eight_devices):
+    mesh = parallel.create_mesh(devices=eight_devices)
+    assert mesh.axis_names == ("data",)
+    assert mesh.devices.shape == (8,)
+    mesh2 = parallel.create_mesh(
+        ("data", "model"), shape=(4, 2), devices=eight_devices
+    )
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_data_parallel_step_matches_single_device(
+    eight_devices, ntu_examples
+):
+    """The sharded train step must produce the same loss/params as the
+    identical step run unsharded — DP is a layout, not a semantic change."""
+    x = jnp.asarray(np.tile(ntu_examples[:, :, :16], (2, 1, 1, 1, 1)))
+    y = jax.nn.one_hot(jnp.arange(8) % 60, 60)
+
+    model = stgcn.Model(num_classes=60)
+    tx = optax.sgd(1e-2, momentum=0.9, nesterov=True)
+    state = create_train_state(model, jax.random.key(0), x, tx)
+    step_fn = make_train_step(global_batch_size=8)
+
+    # single device
+    s1, m1 = jax.jit(step_fn)(state, x, y, False)
+
+    # 8-way data parallel
+    mesh = parallel.create_mesh(devices=eight_devices)
+    dp = parallel.DataParallel(mesh)
+    s2 = dp.shard_state(
+        create_train_state(model, jax.random.key(0), x, tx)
+    )
+    xb, yb = dp.shard_batch(np.asarray(x), np.asarray(y))
+    s2, m2 = dp.jit_train_step(step_fn)(s2, xb, yb, False)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+    )
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(jax.device_get(s2.params))
+    for a, b in zip(l1, l2):
+        # tolerance covers f32 reduction-order differences (BN stats and
+        # gradient all-reduce accumulate in shard order under DP)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4
+        )
+
+
+def test_batch_sharding_layout(eight_devices):
+    mesh = parallel.create_mesh(devices=eight_devices)
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    sharded = parallel.shard_batch(mesh, x)
+    assert len(sharded.addressable_shards) == 8
+    for shard in sharded.addressable_shards:
+        assert shard.data.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(sharded), x)
