@@ -93,16 +93,33 @@ def read_xyz(
     max_body: int = MAX_BODY_KINECT,
     num_joint: int = NUM_JOINTS,
     max_body_true: int = MAX_BODY_TRUE,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Parse + select the ``max_body_true`` highest-energy bodies.
 
     Returns ``(3, T, V, max_body_true)`` like ``gen_joint_data.py:76-93``.
+    Uses the C++ parser from :mod:`..native` when built (~100x the Python
+    tokenizer); falls back transparently.
     """
-    num_frames, frames = parse_skeleton_file(path, num_joint)
-    data = np.zeros((max_body, num_frames, num_joint, 3), np.float64)
-    for t, bodies in enumerate(frames):
-        n = min(len(bodies), max_body)
-        data[:n, t] = bodies[:n]
+    data = None
+    if use_native:
+        from skeleton_action_recognition_tpu import native
+
+        if native.load() is not None:
+            with open(path, "rb") as f:
+                text = f.read()
+            num_frames = int(text.split(None, 1)[0])
+            data = native.parse_skeleton(
+                text, max_body, max(num_frames, 1), num_joint
+            ).astype(np.float64)
+    if data is None:
+        num_frames, frames = parse_skeleton_file(path, num_joint)
+        data = np.zeros(
+            (max_body, num_frames, num_joint, 3), np.float64
+        )
+        for t, bodies in enumerate(frames):
+            n = min(len(bodies), max_body)
+            data[:n, t] = bodies[:n]
 
     energy = np.array([nonzero_std_energy(b) for b in data])
     order = energy.argsort()[::-1][:max_body_true]

@@ -46,35 +46,12 @@ def _make_table() -> np.ndarray:
 _TABLE = _make_table()
 _MASK_DELTA = 0xA282EAD8
 
-_native = None
-
-
-def _load_native():
-    """Load the optional C++ crc32c/tfrecord helper library."""
-    global _native
-    if _native is not None:
-        return _native
-    import ctypes
-
-    lib_path = os.path.join(
-        os.path.dirname(os.path.dirname(__file__)),
-        "native",
-        "libsar_native.so",
-    )
-    if os.path.exists(lib_path):
-        lib = ctypes.CDLL(lib_path)
-        lib.sar_crc32c.restype = ctypes.c_uint32
-        lib.sar_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
-        _native = lib
-    else:
-        _native = False
-    return _native
-
-
 def crc32c(data: bytes) -> int:
-    native = _load_native()
-    if native:
-        return int(native.sar_crc32c(data, len(data)))
+    from skeleton_action_recognition_tpu import native
+
+    value = native.crc32c(data)
+    if value is not None:
+        return value
     crc = np.uint32(0xFFFFFFFF)
     table = _TABLE
     for b in np.frombuffer(data, np.uint8):
