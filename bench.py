@@ -2,11 +2,20 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Methodology: the axon TPU tunnel in this image executes lazily —
+``block_until_ready`` does not force execution, and every host fetch
+replays the computation chain. Timings here therefore run N chained train
+steps *inside one jitted ``lax.scan``* and fetch a single scalar; the
+per-step time is the difference between the N-step and 1-step programs
+divided by N-1, which cancels both the RPC latency and the replay of the
+state initialization.
+
 Baseline provenance: the reference implementation (TF2/Keras ST-GCN,
-``/root/reference/models/stgcn.py`` with its stale ``model.gcn`` import and
-TF-2.1 ``l2(l=...)`` kwarg shimmed) measured on this machine's CPU at
-batch 16: 0.57 clips/s (fwd+bwd+SGD update, steady state). BASELINE.json
-sets the north star at >=10x that per chip.
+``/root/reference/models/stgcn.py`` with its stale ``model.gcn`` import
+and TF-2.1 ``l2(l=...)`` kwarg shimmed) measured on this machine's CPU at
+batch 16: 0.57 clips/s (fwd+bwd+SGD update, steady state, synchronous TF
+eager/function execution). BASELINE.json sets the north star at >=10x
+that per chip.
 """
 
 import json
@@ -19,9 +28,9 @@ import optax
 
 REFERENCE_CPU_CLIPS_PER_SEC = 0.57
 
-BATCH = 64
+BATCH = 128
 T = 300
-STEPS = 20
+STEPS = 10
 
 
 def main():
@@ -39,22 +48,36 @@ def main():
         jnp.asarray(rng.integers(0, 60, size=BATCH)), 60
     )
 
-    model = stgcn.Model(num_classes=60)
+    model = stgcn.Model(num_classes=60, dtype=jnp.bfloat16, remat=True)
     tx = optax.sgd(0.1, momentum=0.9, nesterov=True)
     state = create_train_state(model, jax.random.key(0), x, tx)
-    step = jax.jit(make_train_step(global_batch_size=BATCH), donate_argnums=(0,))
+    step = make_train_step(global_batch_size=BATCH)
 
-    # warm-up / compile
-    state, m = step(state, x, y, False)
-    jax.block_until_ready(m["loss"])
+    def multi(k):
+        @jax.jit
+        def run(state):
+            def body(s, _):
+                s, m = step(s, x, y, False)
+                return s, m["loss"]
+
+            return jax.lax.scan(body, state, None, length=k)[1][-1]
+
+        return run
+
+    f1, fn = multi(1), multi(STEPS)
+    # compile + warm
+    float(f1(state))
+    float(fn(state))
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, m = step(state, x, y, False)
-    jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / STEPS
+    float(f1(state))
+    d1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(fn(state))
+    dn = time.perf_counter() - t0
+    per_step = (dn - d1) / (STEPS - 1)
 
-    clips_per_sec = BATCH / dt
+    clips_per_sec = BATCH / per_step
     print(
         json.dumps(
             {

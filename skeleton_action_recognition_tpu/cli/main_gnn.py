@@ -30,7 +30,10 @@ import numpy as np
 import optax
 
 from skeleton_action_recognition_tpu import parallel
-from skeleton_action_recognition_tpu.data.pipeline import TFRecordDataset
+from skeleton_action_recognition_tpu.data.pipeline import (
+    TFRecordDataset,
+    stream_transform,
+)
 from skeleton_action_recognition_tpu.train import (
     checkpoint as ckpt_lib,
     metrics as metrics_lib,
@@ -79,6 +82,13 @@ def get_parser() -> argparse.ArgumentParser:
         help="epochs at which LR decays 10x",
     )
     # TPU-native extras
+    parser.add_argument(
+        "--stream",
+        default="joint",
+        choices=["joint", "bone", "joint_motion", "bone_motion"],
+        help="derive this stream from the joint TFRecords on the fly "
+        "(replaces the reference's per-stream dataset copies)",
+    )
     parser.add_argument("--resume", action="store_true")
     parser.add_argument(
         "--l2-weight", type=float, default=0.0,
@@ -118,6 +128,7 @@ def main(argv=None):
     config_lib.snapshot_sources(log_dir, [model_cls])
     model = model_cls(num_classes=arg.num_classes)
 
+    transform = stream_transform(arg.stream)
     train_data = TFRecordDataset(
         arg.train_data_path,
         batch_size=global_batch,
@@ -127,12 +138,14 @@ def main(argv=None):
         seed=arg.seed,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        transform=transform,
     )
     test_data = TFRecordDataset(
         arg.test_data_path,
         batch_size=global_batch,
         num_classes=arg.num_classes,
         shuffle=False,
+        transform=transform,
     )
 
     boundaries = schedules.reference_gnn_boundaries(

@@ -29,13 +29,35 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from skeleton_action_recognition_tpu.data import tfrecord
+from skeleton_action_recognition_tpu.data import streams, tfrecord
 
 
 def _one_hot(labels: np.ndarray, num_classes: int) -> np.ndarray:
     out = np.zeros((len(labels), num_classes), np.float32)
     out[np.arange(len(labels)), labels] = 1.0
     return out
+
+
+def stream_transform(name: str):
+    """Batch transform deriving a stream from joint data on the fly.
+
+    Lets every stream of the multi-stream ensemble train from the single
+    joint TFRecord set instead of 4x dataset copies (the reference
+    materializes each stream to disk, ``gen_bone_data.py`` /
+    ``gen_motion_data.py``). Names: ``joint``, ``bone``, ``joint_motion``,
+    ``bone_motion``.
+    """
+    if name == "joint":
+        return lambda x: x
+    if name == "bone":
+        return streams.bone_stream
+    if name == "joint_motion":
+        return lambda x: np.asarray(streams.motion_stream(x))
+    if name == "bone_motion":
+        return lambda x: np.asarray(
+            streams.motion_stream(streams.bone_stream(x))
+        )
+    raise ValueError(f"unknown stream: {name!r}")
 
 
 class TFRecordDataset:
@@ -57,6 +79,7 @@ class TFRecordDataset:
         process_index: int = 0,
         process_count: int = 1,
         prefetch: int = 2,
+        transform=None,
     ):
         records = sorted(
             os.path.join(directory, f)
@@ -71,6 +94,7 @@ class TFRecordDataset:
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
+        self.transform = transform
         self._rng = np.random.default_rng(seed)
         self._cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
@@ -119,11 +143,11 @@ class TFRecordDataset:
             )
             for i in range(0, end, self.batch_size):
                 idx = order[i : i + self.batch_size]
+                batch = data[idx]
+                if self.transform is not None:
+                    batch = self.transform(batch)
                 q.put(
-                    (
-                        data[idx],
-                        _one_hot(labels[idx], self.num_classes),
-                    )
+                    (batch, _one_hot(labels[idx], self.num_classes))
                 )
             q.put(stop)
 

@@ -23,6 +23,11 @@ CONV_INIT = nn.initializers.variance_scaling(
 )
 L2_WEIGHT = 1e-4
 
+# Compute dtype for matmul-heavy layers (params stay float32). bfloat16
+# feeds the MXU at full rate; BatchNorm statistics are always accumulated
+# in float32 regardless.
+DEFAULT_COMPUTE_DTYPE = None  # None = float32 everywhere (exact parity)
+
 
 def batch_norm(train: bool, name: str | None = None, **kwargs) -> nn.BatchNorm:
     """BatchNorm with the reference stack's Keras defaults."""

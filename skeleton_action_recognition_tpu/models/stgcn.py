@@ -20,7 +20,7 @@ freeze-graph-until mask.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -40,6 +40,7 @@ class TemporalConv(nn.Module):
     filters: int
     kernel_size: int = 9
     stride: int = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -51,6 +52,7 @@ class TemporalConv(nn.Module):
             strides=(self.stride, 1),
             padding="SAME",
             kernel_init=CONV_INIT,
+            dtype=self.dtype,
         )(x)
         x = batch_norm(train)(x)
         return x
@@ -71,6 +73,7 @@ class STConvBlock(nn.Module):
     stride: int = 1
     residual: bool = True
     sgcn_factory: Optional[Callable[[int], nn.Module]] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, a, train: bool):
@@ -85,17 +88,19 @@ class STConvBlock(nn.Module):
                 strides=(self.stride, 1),
                 padding="SAME",
                 kernel_init=CONV_INIT,
+                dtype=self.dtype,
                 name="residual_conv",
             )(x)
             res = batch_norm(train, name="residual_bn")(res)
 
         factory = self.sgcn_factory or (
-            lambda f: GraphConvTD(f, name="sgcn")
+            lambda f: GraphConvTD(f, dtype=self.dtype, name="sgcn")
         )
         x, a = factory(self.filters)(x, a, train)
-        x = TemporalConv(self.filters, stride=self.stride, name="tgcn")(
-            x, train
-        )
+        x = TemporalConv(
+            self.filters, stride=self.stride, dtype=self.dtype,
+            name="tgcn",
+        )(x, train)
         x = nn.relu(x + res)
         return x, a
 
@@ -140,18 +145,26 @@ class STGCNBackbone(nn.Module):
     sgcn_factory: Optional[Callable[[int], nn.Module]] = None
     extra_block_index: int = -1  # insert hook (used by STPGCN)
     extra_block_factory: Optional[Callable[[], nn.Module]] = None
+    dtype: Optional[Any] = None
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, a, train: bool):
         x, n, m = reshape_skeleton_input(x)
         x = DataBatchNorm(name="data_bn")(x, train)
 
+        block_cls = (
+            nn.remat(STConvBlock, static_argnums=(3,))
+            if self.remat
+            else STConvBlock
+        )
         for i, (filters, stride, residual) in enumerate(self.block_plan):
-            x, a = STConvBlock(
+            x, a = block_cls(
                 filters,
                 stride=stride,
                 residual=residual,
                 sgcn_factory=self.sgcn_factory,
+                dtype=self.dtype,
                 name=f"block_{i}",
             )(x, a, train)
             if i == self.extra_block_index and self.extra_block_factory:
@@ -173,6 +186,8 @@ class Model(nn.Module):
 
     num_classes: int = 60
     trainable_adjacency: bool = False
+    dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for MXU-rate compute
+    remat: bool = True  # rematerialize blocks (trade FLOPs for HBM)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -183,6 +198,9 @@ class Model(nn.Module):
             )
         else:
             a = jnp.asarray(a_init)
-        return STGCNBackbone(self.num_classes, name="backbone")(
-            x, a, train
-        )
+        return STGCNBackbone(
+            self.num_classes,
+            dtype=self.dtype,
+            remat=self.remat,
+            name="backbone",
+        )(x, a, train)

@@ -20,6 +20,14 @@ import orbax.checkpoint as ocp
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
+        if any(ch in self.directory for ch in "[]*?"):
+            # tensorstore globs under this path during OCDBT merge; glob
+            # metacharacters make the merge silently no-op and leave the
+            # checkpoint unreadable
+            raise ValueError(
+                "checkpoint directory must not contain glob "
+                f"metacharacters ([]*?): {self.directory!r}"
+            )
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
@@ -39,19 +47,30 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(
-        self, state_template: Any, step: Optional[int] = None
+        self,
+        state_template: Any,
+        step: Optional[int] = None,
+        partial: bool = False,
     ) -> Tuple[Any, Optional[dict], Optional[int]]:
         """Restore ``(state, extra, step)``; returns the template unchanged
-        when no checkpoint exists (fresh start)."""
+        when no checkpoint exists (fresh start).
+
+        ``partial=True`` restores only the leaves present in the template —
+        use for eval-time loading where the template's optimizer state need
+        not match the trainer's (e.g. a schedule-less template against a
+        checkpoint trained with an LR schedule)."""
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
             return state_template, None, None
+        if partial:
+            restore_args = ocp.args.PyTreeRestore(
+                state_template, partial_restore=True
+            )
+        else:
+            restore_args = ocp.args.StandardRestore(state_template)
         restored = self._mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(state_template)
-            ),
+            step, args=ocp.args.Composite(state=restore_args)
         )
         extra = None
         extra_path = os.path.join(self.directory, str(step), "extra")
@@ -61,6 +80,34 @@ class CheckpointManager:
             )
             extra = restored_extra.get("extra")
         return restored["state"], extra, step
+
+    def restore_for_eval(
+        self,
+        params_template: Any,
+        batch_stats_template: Any,
+        step: Optional[int] = None,
+    ) -> Tuple[Any, Any, Optional[int]]:
+        """Restore only ``(params, batch_stats)`` — optimizer-agnostic.
+
+        For evaluation/ensembling, where the restoring process should not
+        need to reconstruct the trainer's exact optimizer tree (LR
+        schedules and momentum add structure to ``opt_state``)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            return params_template, batch_stats_template, None
+        template = {
+            "params": params_template,
+            "batch_stats": batch_stats_template,
+        }
+        # Direct PyTreeCheckpointer on the step's state dir: the manager
+        # binds 'state' to the Standard handler (which requires the full
+        # TrainState structure incl. the trainer's exact opt_state).
+        restored = ocp.PyTreeCheckpointer().restore(
+            os.path.join(self.directory, str(step), "state"),
+            args=ocp.args.PyTreeRestore(template, partial_restore=True),
+        )
+        return restored["params"], restored["batch_stats"], step
 
     def close(self):
         self._mgr.close()

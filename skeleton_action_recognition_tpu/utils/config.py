@@ -50,6 +50,13 @@ def run_name_from_args(
     )
     if notes:
         name += "-" + notes
+    # Strip glob metacharacters: tensorstore/orbax glob for OCDBT
+    # per-process subdirs during checkpoint finalization, and a '[10-50]'
+    # (from the reference-style --steps list mangling) in the path makes
+    # that glob match nothing — the merge is silently skipped and the
+    # checkpoint is unreadable. Measured, not hypothetical.
+    for ch in "[]*?":
+        name = name.replace(ch, "")
     return name
 
 

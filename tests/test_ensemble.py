@@ -1,0 +1,73 @@
+"""Multi-stream ensemble: train two tiny stream models, combine scores."""
+
+import os
+
+import numpy as np
+import pytest
+
+from skeleton_action_recognition_tpu.cli import ensemble, main_gnn
+from skeleton_action_recognition_tpu.data import tfrecord
+from skeleton_action_recognition_tpu.data.pipeline import (
+    TFRecordDataset,
+    stream_transform,
+)
+
+
+def test_stream_transform_matches_offline(ntu_examples):
+    joint = ntu_examples[:2]
+    from skeleton_action_recognition_tpu.data import streams
+
+    np.testing.assert_allclose(
+        stream_transform("bone")(joint), streams.bone_stream(joint)
+    )
+    np.testing.assert_allclose(
+        stream_transform("bone_motion")(joint),
+        np.asarray(streams.motion_stream(streams.bone_stream(joint))),
+    )
+
+
+@pytest.mark.slow
+def test_ensemble_end_to_end(tmp_path, ntu_examples):
+    rng = np.random.default_rng(0)
+    base = ntu_examples[:, :, :32]
+    data = np.tile(base, (4, 1, 1, 1, 1)) + rng.normal(
+        0, 0.01, (16,) + base.shape[1:]
+    ).astype(np.float32)
+    labels = np.arange(16) % 4
+    train_dir, test_dir = tmp_path / "train", tmp_path / "test"
+    tfrecord.write_dataset(
+        data, labels, str(train_dir), "train_data_joint", num_shards=1
+    )
+    tfrecord.write_dataset(
+        data, labels, str(test_dir), "val_data_joint", num_shards=1
+    )
+
+    ckpts = []
+    for stream in ("joint", "bone"):
+        log_dir = tmp_path / f"logs_{stream}"
+        main_gnn.main([
+            "--model", "stgcn",
+            "--stream", stream,
+            "--batch-size", "2",
+            "--num-epochs", "1",
+            "--save-freq", "1",
+            "--num-classes", "4",
+            "--train-data-path", str(train_dir),
+            "--test-data-path", str(test_dir),
+            "--log-dir", str(log_dir),
+            "--base-lr", "0.05",
+        ])
+        run = os.listdir(log_dir)[0]
+        ckpts.append(str(log_dir / run / "checkpoints"))
+
+    report = ensemble.main([
+        "--model", "stgcn",
+        "--streams", "joint", "bone",
+        "--checkpoints", ckpts[0], ckpts[1],
+        "--num-classes", "4",
+        "--batch-size", "8",
+        "--test-data-path", str(test_dir),
+    ])
+    assert 0.0 <= report["ensemble_top1"] <= 1.0
+    assert report["ensemble_top5"] == 1.0  # 4 classes -> top5 is trivially 1
+    assert "joint_top1" in report and "bone_top1" in report
