@@ -59,6 +59,7 @@ class VirtualRadar(nn.Module):
     train_stft_kernel: bool = False
     num_pad_frames: int = 0
     pad_sigma: float = 3.0
+    use_pallas: bool = False  # fused Pallas kernel for the radar return
 
     @nn.compact
     def __call__(self, x):
@@ -85,7 +86,14 @@ class VirtualRadar(nn.Module):
                     x.shape[2], self.num_pad_frames, self.pad_sigma
                 )
             )
-            re, im = radar_return_upsampled(x, w, loc, lam, self.edges)
+            if self.use_pallas:
+                from skeleton_action_recognition_tpu.ops.pallas.radar import (
+                    radar_return_fused,
+                )
+
+                re, im = radar_return_fused(x, w, loc, lam, self.edges)
+            else:
+                re, im = radar_return_upsampled(x, w, loc, lam, self.edges)
         else:
             re, im = radar_return(x, loc, lam, self.edges)
         s_re, s_im = stft_ops.stft_complex(

@@ -25,6 +25,18 @@ from skeleton_action_recognition_tpu.graphs.ntu_rgb_d import RADAR_EDGES
 from skeleton_action_recognition_tpu.ops import stft as stft_ops
 
 
+def _safe_norm(x, axis):
+    """L2 norm with a well-defined (zero) gradient at the origin.
+
+    ``jnp.linalg.norm`` backpropagates ``x / ||x||`` — NaN at zero, and
+    all-zero bodies (empty second skeleton after padding) are routine in
+    NTU clips, which would poison every gradient. Forward values are
+    bit-identical to the plain norm."""
+    s = jnp.sum(x * x, axis=axis)
+    zero = s == 0
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, s)))
+
+
 def radar_return(
     x,
     radar_location,
@@ -66,40 +78,48 @@ def radar_return(
     dst = x[:, :, :, dst_idx]
     loc = radar_location[None, :, None, None, None]
 
-    # c = (mean_t bone length)^2, kept per (N, 1, E, M).
-    c = (
-        jnp.mean(jnp.linalg.norm(dst - src, axis=1), axis=1, keepdims=True)
-        ** 2
+    # mean_t bone length, kept per (N, 1, E, M); c = mean_len^2.
+    mean_len = jnp.mean(
+        _safe_norm(dst - src, axis=1), axis=1, keepdims=True
     )
-    return _edge_returns(src, dst, loc, radar_location, wavelength, c)
+    return _edge_returns(
+        src, dst, loc, radar_location, wavelength, mean_len
+    )
 
 
-def _edge_returns(src, dst, loc_b, radar_location, wavelength, c):
+def _edge_returns(src, dst, loc_b, radar_location, wavelength, mean_len):
     """Per-timestep complex returns given gathered edge endpoints.
 
-    ``src``/``dst``: ``(N, 3, T, E, M)``; ``c``: precomputed
-    ``(N, 1, E, M)`` squared mean bone length. Returns ``(re, im)`` summed
-    over edges and bodies, each ``(N, T)``.
+    ``src``/``dst``: ``(N, 3, T, E, M)``; ``mean_len``: precomputed
+    ``(N, 1, E, M)`` time-mean bone length (the RCS uses ``c =
+    mean_len^2``; taking ``sqrt(c)`` back out of the amplitude would have
+    an infinite derivative at zero-length bones, so the amplitude uses
+    ``mean_len`` directly). Returns ``(re, im)`` summed over edges and
+    bodies, each ``(N, T)``.
     """
     rev = src - loc_b
-    distances = jnp.linalg.norm(rev, axis=1)
+    distances = _safe_norm(rev, axis=1)
     a_vec = loc_b - (src + dst) / 2.0
     b_vec = dst - src
     cos_theta = jnp.sum(a_vec * b_vec, axis=1) / (
-        jnp.linalg.norm(a_vec, axis=1) * jnp.linalg.norm(b_vec, axis=1) + 1e-6
+        _safe_norm(a_vec, axis=1) * _safe_norm(b_vec, axis=1) + 1e-6
     )
-    theta = jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0))
+    # clip epsilon keeps d(arccos) finite at the degenerate |ct| = 1 corner
+    theta = jnp.arccos(jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7))
     sin_phi = (radar_location[1] - src[:, 1]) / (
-        jnp.linalg.norm(rev[:, :2], axis=1) + 1e-6
+        _safe_norm(rev[:, :2], axis=1) + 1e-6
     )
-    phi = jnp.arcsin(jnp.clip(sin_phi, -1.0, 1.0))
+    phi = jnp.arcsin(jnp.clip(sin_phi, -1.0 + 1e-7, 1.0 - 1e-7))
+    c = mean_len * mean_len
     sin_t2 = jnp.sin(theta) ** 2
-    denom = (
+    denom = jnp.abs(
         sin_t2 * jnp.cos(phi) ** 2
         + sin_t2 * jnp.sin(phi) ** 2
         + c * jnp.cos(theta) ** 2
-    ) ** 2
-    amp = jnp.sqrt((np.pi * c) / denom)
+    )
+    # amp = sqrt(pi * c / denom^4)... NB reference squares the bracket
+    # then sqrt's: amp = sqrt(pi) * mean_len / |bracket|
+    amp = np.sqrt(np.pi) * mean_len / denom
     phase = 4.0 * np.pi * distances / wavelength
     re = jnp.sum(amp * jnp.cos(phase), axis=(2, 3))
     im = jnp.sum(amp * jnp.sin(phase), axis=(2, 3))
@@ -174,21 +194,21 @@ def radar_return_upsampled(
     def length_pass(carry, w_tile):
         bone = interp(w_tile, dst_raw - src_raw)
         return carry + jnp.sum(
-            jnp.linalg.norm(bone, axis=1), axis=1
+            _safe_norm(bone, axis=1), axis=1
         ), None
 
     n, _, _, e, m = src_raw.shape
     len_sum, _ = lax.scan(
         length_pass, jnp.zeros((n, e, m), x_raw.dtype), w
     )
-    c = (len_sum / t_out)[:, None] ** 2  # (N, 1, E, M)
+    mean_len = (len_sum / t_out)[:, None]  # (N, 1, E, M)
 
     # pass 2: emit signal tiles
     def signal_pass(_, w_tile):
         src = interp(w_tile, src_raw)
         dst = interp(w_tile, dst_raw)
         return None, _edge_returns(
-            src, dst, loc_b, radar_location, wavelength, c
+            src, dst, loc_b, radar_location, wavelength, mean_len
         )
 
     _, (re_tiles, im_tiles) = lax.scan(signal_pass, None, w)
