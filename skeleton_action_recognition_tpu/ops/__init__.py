@@ -23,6 +23,7 @@ from skeleton_action_recognition_tpu.ops.stft import (
 )
 from skeleton_action_recognition_tpu.ops.virtual_radar import (
     radar_return,
+    radar_return_sharded,
     radar_return_upsampled,
     virtual_radar_spectrogram,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "pad_frames",
     "pad_frames_operator",
     "radar_return",
+    "radar_return_sharded",
     "radar_return_upsampled",
     "spatial_graph_conv",
     "stft_basis",

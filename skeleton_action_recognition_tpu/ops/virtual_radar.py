@@ -217,6 +217,89 @@ def radar_return_upsampled(
     return re, im
 
 
+def radar_return_sharded(
+    x_raw,
+    pad_operator,
+    radar_location,
+    wavelength,
+    mesh,
+    edges: Sequence[Tuple[int, int]] = tuple(RADAR_EDGES),
+    axis_name: str = "data",
+):
+    """Sequence-parallel radar return: the padded time axis sharded over a
+    mesh axis.
+
+    The SURVEY §2 sequence-parallel design: the 75k-sample radar time axis
+    is the one long-sequence workload; each chip computes the signal for
+    its own slice of the resampling operator's rows (the raw joints are
+    tiny and replicated), the time-mean bone length is a ``psum`` over
+    ICI, and the finished signal shards are ``all_gather``-ed (the signal
+    is KBs per clip — the expensive part, interpolation + backscatter, is
+    what gets parallelized). No ring/all-to-all is required.
+
+    Returns replicated ``(re, im)`` of shape ``(N, T_out)``.
+    """
+    from jax import lax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    src_idx = np.asarray([e[0] for e in edges])
+    dst_idx = np.asarray([e[1] for e in edges])
+    n_dev = mesh.shape[axis_name]
+    t_out = pad_operator.shape[0]
+    t_pad = -(-t_out // n_dev) * n_dev
+    w = jnp.pad(pad_operator, ((0, t_pad - t_out), (0, 0)))
+
+    def local_fn(w_local, x_rep, loc, lam):
+        src_raw = x_rep[:, :, :, src_idx]
+        dst_raw = x_rep[:, :, :, dst_idx]
+        t_local = w_local.shape[0]
+        tile = _pick_tile(t_local)
+        wt = w_local.reshape(t_local // tile, tile, -1)
+
+        def interp(w_tile, raw):
+            return jnp.einsum(
+                "ot,nctem->ncoem", w_tile, raw,
+                precision=lax.Precision.HIGHEST,
+            )
+
+        def length_pass(carry, w_tile):
+            bone = interp(w_tile, dst_raw - src_raw)
+            return carry + jnp.sum(_safe_norm(bone, axis=1), axis=1), None
+
+        n, _, _, e, m = src_raw.shape
+        local_sum, _ = lax.scan(
+            length_pass, jnp.zeros((n, e, m), x_rep.dtype), wt
+        )
+        # global time-mean bone length: one psum over ICI
+        global_sum = lax.psum(local_sum, axis_name)
+        mean_len = (global_sum / t_out)[:, None]
+
+        loc_b = loc[None, :, None, None, None]
+
+        def signal_pass(_, w_tile):
+            src = interp(w_tile, src_raw)
+            dst = interp(w_tile, dst_raw)
+            return None, _edge_returns(src, dst, loc_b, loc, lam, mean_len)
+
+        _, (re_t, im_t) = lax.scan(signal_pass, None, wt)
+        re = jnp.moveaxis(re_t, 0, 1).reshape(n, t_local)
+        im = jnp.moveaxis(im_t, 0, 1).reshape(n, t_local)
+        re = lax.all_gather(re, axis_name, axis=1, tiled=True)
+        im = lax.all_gather(im, axis_name, axis=1, tiled=True)
+        return re, im
+
+    re, im = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )(w, x_raw, jnp.asarray(radar_location, jnp.float32),
+      jnp.asarray(wavelength, jnp.float32))
+    return re[:, :t_out], im[:, :t_out]
+
+
 def virtual_radar_spectrogram(
     x,
     radar_location,

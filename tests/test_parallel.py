@@ -69,6 +69,35 @@ def test_data_parallel_step_matches_single_device(
         )
 
 
+def test_sequence_parallel_radar_matches(eight_devices, ntu_examples):
+    """SP radar (time axis sharded, psum'd bone stats, gathered signal)
+    == the single-device tiled implementation."""
+    from skeleton_action_recognition_tpu.ops import (
+        radar_return_sharded,
+        radar_return_upsampled,
+    )
+    from skeleton_action_recognition_tpu.ops.resample import (
+        pad_frames_operator,
+    )
+
+    mesh = parallel.create_mesh(devices=eight_devices)
+    x = jnp.asarray(ntu_examples[:2, :, :30])
+    w = jnp.asarray(pad_frames_operator(30, 20))  # T_out = 600 = 8 * 75
+    loc, lam = jnp.zeros(3), jnp.asarray(5e-4)
+
+    re_s, im_s = jax.jit(
+        lambda x: radar_return_sharded(x, w, loc, lam, mesh)
+    )(x)
+    re_r, im_r = radar_return_upsampled(x, w, loc, lam)
+    scale = float(jnp.abs(re_r).max())
+    np.testing.assert_allclose(
+        np.asarray(re_s), np.asarray(re_r), atol=2e-3 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(im_s), np.asarray(im_r), atol=2e-3 * scale
+    )
+
+
 def test_batch_sharding_layout(eight_devices):
     mesh = parallel.create_mesh(devices=eight_devices)
     x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
