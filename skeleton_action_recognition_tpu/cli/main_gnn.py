@@ -113,6 +113,7 @@ def build_log_dir(arg) -> str:
 
 def main(argv=None):
     arg = get_parser().parse_args(argv)
+    parallel.mesh.maybe_initialize_distributed()
     mesh = parallel.create_mesh()
     dp = parallel.DataParallel(mesh)
     num_replicas = mesh.devices.size

@@ -112,6 +112,7 @@ class Model(nn.Module):
     wavelength: float = 5e-4
     train_stft_kernel: bool = False
     num_pad_frames: int = 0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -119,6 +120,7 @@ class Model(nn.Module):
             wavelength=self.wavelength,
             train_stft_kernel=self.train_stft_kernel,
             num_pad_frames=self.num_pad_frames,
+            use_pallas=self.use_pallas,
             name="virtual_radar",
         )(x)
         spec = nearest_resize_torch(spec, self.image_size, self.image_size)

@@ -1,8 +1,10 @@
 """Device-mesh construction and sharding policies."""
 
+from skeleton_action_recognition_tpu.parallel import mesh  # noqa: F401
 from skeleton_action_recognition_tpu.parallel.mesh import (
     create_mesh,
     local_device_count,
+    maybe_initialize_distributed,
 )
 from skeleton_action_recognition_tpu.parallel.sharding import (
     DataParallel,
@@ -13,5 +15,7 @@ __all__ = [
     "DataParallel",
     "create_mesh",
     "local_device_count",
+    "maybe_initialize_distributed",
+    "mesh",
     "shard_batch",
 ]

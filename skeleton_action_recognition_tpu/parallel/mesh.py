@@ -22,6 +22,27 @@ def local_device_count() -> int:
     return jax.local_device_count()
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host bring-up: call ``jax.distributed.initialize`` when a
+    coordinator is configured via the standard env vars
+    (``JAX_COORDINATOR_ADDRESS`` [+ ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``] or a TPU pod environment). No-op on single-host.
+
+    Multi-host data loading composes with this through the per-host shard
+    partitioning in :class:`..data.pipeline.TFRecordDataset` (each host
+    reads a disjoint shard subset; gradients psum over DCN+ICI).
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+            return True
+        except (RuntimeError, ValueError):
+            return False
+    return False
+
+
 def create_mesh(
     axis_names: Sequence[str] = ("data",),
     shape: Optional[Sequence[int]] = None,

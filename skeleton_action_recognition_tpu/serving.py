@@ -1,0 +1,101 @@
+"""Serving: compiled predictors for production inference.
+
+The reference has no inference/serving path at all beyond the eval loop
+inside training (``test_step``, ``main_gnn.py:205-208``). This module
+packages a checkpointed model as a compiled predictor:
+
+* one jitted XLA program per (model, batch-shape), optionally bf16;
+* data-parallel batch sharding over a mesh for multi-chip serving;
+* partial-batch padding so a single compiled shape serves any request
+  size up to ``max_batch``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Predictor:
+    """Compiled softmax predictor over a fixed max batch shape."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        batch_stats,
+        max_batch: int = 64,
+        mesh=None,
+        axis: str = "data",
+    ):
+        self.model = model
+        self.max_batch = max_batch
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def forward(x):
+            logits = model.apply(variables, x, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._fn = jax.jit(
+                forward,
+                in_shardings=NamedSharding(mesh, P(axis)),
+                out_shardings=NamedSharding(mesh, P(axis)),
+            )
+        else:
+            self._fn = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        model,
+        checkpoint_dir: str,
+        sample_input,
+        max_batch: int = 64,
+        mesh=None,
+    ) -> "Predictor":
+        import optax
+
+        from skeleton_action_recognition_tpu.train import (
+            checkpoint as ckpt_lib,
+            create_train_state,
+        )
+
+        state = create_train_state(
+            model, jax.random.key(0), jnp.asarray(sample_input),
+            optax.sgd(0.1),
+        )
+        manager = ckpt_lib.CheckpointManager(checkpoint_dir)
+        params, batch_stats, step = manager.restore_for_eval(
+            jax.device_get(state.params),
+            jax.device_get(state.batch_stats),
+        )
+        manager.close()
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoint in {checkpoint_dir}"
+            )
+        return cls(
+            model, params, batch_stats, max_batch=max_batch, mesh=mesh
+        )
+
+    def __call__(self, x) -> np.ndarray:
+        """Predict class probabilities for ``(n, ...)`` with
+        ``n <= max_batch`` (padded internally to one compiled shape)."""
+        x = np.asarray(x, np.float32)
+        n = len(x)
+        if n > self.max_batch:
+            raise ValueError(
+                f"batch {n} exceeds max_batch {self.max_batch}"
+            )
+        if n < self.max_batch:
+            x = np.concatenate(
+                [x, np.zeros((self.max_batch - n,) + x.shape[1:],
+                             np.float32)]
+            )
+        return np.asarray(self._fn(jnp.asarray(x)))[:n]
