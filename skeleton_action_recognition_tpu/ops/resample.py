@@ -85,6 +85,11 @@ def pad_frames(
     Executes as one or two matmuls; safe to call inside ``jit`` for fixed
     shapes.
     """
+    if data.ndim != 3:
+        raise ValueError(
+            f"pad_frames expects (T, V, C) joint data, got shape "
+            f"{data.shape}"
+        )
     t, v, _ = data.shape
     p = jnp.asarray(
         cubic_interp_matrix(t, num_pad_frames * t).astype(np.float32)
