@@ -163,6 +163,12 @@ def main(argv=None):
                     acc_m.update(
                         int((preds == labels).sum()), len(labels)
                     )
+                    ce = -np.log(
+                        np.maximum(
+                            probs[np.arange(len(labels)), labels], 1e-12
+                        )
+                    )
+                    loss_m.update(float(ce.mean()), len(labels))
                     cm.update(labels, preds)
                 step_idx = epoch * len(datasets[phase]) + i
                 writer.add_scalar(

@@ -56,10 +56,12 @@ def radar_return(
     * complex return ``sqrt(rcs) * exp(j * 4 pi d / lambda)``;
     * superposition over edges and bodies.
 
-    One deviation: the ``acos`` argument is clamped to ``[-1, 1]`` — the
-    reference can produce NaN when the ``1e-6`` slack is not enough; the
-    clamp only activates in that degenerate regime and gives zero instead of
-    NaN gradients there.
+    Deviations (gradient safety only; forward values unchanged outside
+    degenerate corners): the ``acos``/``asin`` arguments are clamped to
+    ``[-1+1e-7, 1-1e-7]`` (the reference NaNs when its ``1e-6`` slack is
+    insufficient, and has infinite derivatives at exactly |1|), norms use
+    a zero-gradient-at-zero formulation, and the amplitude is computed
+    from the mean bone length directly rather than ``sqrt(mean^2)``.
 
     Args:
       x: ``(N, 3, T, V, M)`` joint positions (reference layout).

@@ -1,0 +1,71 @@
+"""Spectrogram-stack training semantics: staged unfreeze, loss descent."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from skeleton_action_recognition_tpu.models import spectrogram
+from skeleton_action_recognition_tpu.train import (
+    create_train_state,
+    steps as steps_lib,
+)
+
+
+@pytest.fixture(scope="module")
+def radar_state(ntu_examples):
+    x = jnp.asarray(ntu_examples[:2, :, :30])
+    model = spectrogram.Model(
+        num_classes=4, num_filters=8, image_size=64, num_pad_frames=4
+    )
+    state = create_train_state(
+        model, jax.random.key(0), x, optax.adam(1e-3)
+    )
+    return model, state, x
+
+
+def test_staged_unfreeze_of_radar_params(radar_state):
+    """radar_lambda / radar_loc update only when their flags are on
+    (the reference's intended-but-broken main_spectrogram.py:128-136)."""
+    _, state, x = radar_state
+    y = jax.nn.one_hot(jnp.asarray([0, 1]), 4)
+    step = jax.jit(steps_lib.make_radar_train_step(2))
+
+    lam0 = float(state.params["virtual_radar"]["radar_lambda"])
+    loc0 = np.asarray(state.params["virtual_radar"]["radar_loc"])
+
+    s_frozen, _ = step(state, x, y, False, False)
+    assert float(
+        s_frozen.params["virtual_radar"]["radar_lambda"]
+    ) == lam0
+    np.testing.assert_array_equal(
+        np.asarray(s_frozen.params["virtual_radar"]["radar_loc"]), loc0
+    )
+
+    s_lam, _ = step(state, x, y, True, False)
+    assert float(s_lam.params["virtual_radar"]["radar_lambda"]) != lam0
+    np.testing.assert_array_equal(
+        np.asarray(s_lam.params["virtual_radar"]["radar_loc"]), loc0
+    )
+
+    s_loc, _ = step(state, x, y, False, True)
+    assert (
+        np.abs(
+            np.asarray(s_loc.params["virtual_radar"]["radar_loc"]) - loc0
+        ).max()
+        > 0
+    )
+
+
+@pytest.mark.slow
+def test_radar_training_decreases_loss(radar_state):
+    _, state, x = radar_state
+    y = jax.nn.one_hot(jnp.asarray([0, 1]), 4)
+    step = jax.jit(steps_lib.make_radar_train_step(2))
+    losses = []
+    for _ in range(6):
+        state, m = step(state, x, y, False, False)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
