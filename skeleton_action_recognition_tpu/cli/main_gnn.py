@@ -97,6 +97,10 @@ def get_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--profile-dir", default="")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--dtype", default="float32", choices=["float32", "bfloat16"],
+        help="compute dtype for matmul-heavy layers (params stay f32)",
+    )
     return parser
 
 
@@ -127,7 +131,13 @@ def main(argv=None):
         "skeleton_action_recognition_tpu.models." + arg.model
     ).Model
     config_lib.snapshot_sources(log_dir, [model_cls])
-    model = model_cls(num_classes=arg.num_classes)
+    model_kwargs = {"num_classes": arg.num_classes}
+    if (
+        arg.dtype == "bfloat16"
+        and "dtype" in getattr(model_cls, "__dataclass_fields__", {})
+    ):
+        model_kwargs["dtype"] = jnp.bfloat16
+    model = model_cls(**model_kwargs)
 
     transform = stream_transform(arg.stream)
     train_data = TFRecordDataset(

@@ -17,7 +17,7 @@ mirroring ``train_stft_kernel`` (``layers/virtual_radar.py:71-76``).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -10,6 +10,8 @@ partition).
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
@@ -30,6 +32,8 @@ class Model(nn.Module):
 
     num_classes: int = 60
     trainable_adjacency: bool = False
+    dtype: Optional[Any] = None
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,5 +45,9 @@ class Model(nn.Module):
         else:
             a = jnp.asarray(a_init)
         return STGCNBackbone(
-            self.num_classes, sgcn_factory=_gin_factory, name="backbone"
+            self.num_classes,
+            sgcn_factory=_gin_factory,
+            dtype=self.dtype,
+            remat=self.remat,
+            name="backbone",
         )(x, a, train)

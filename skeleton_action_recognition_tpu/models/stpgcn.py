@@ -7,6 +7,8 @@ Parity with ``models/stpgcn.py:129-189``: the standard 10-block plan plus a
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +25,8 @@ class Model(nn.Module):
 
     num_classes: int = 60
     trainable_adjacency: bool = False
+    dtype: Optional[Any] = None
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -35,6 +39,8 @@ class Model(nn.Module):
             a = jnp.asarray(a_init)
         return STGCNBackbone(
             self.num_classes,
+            dtype=self.dtype,
+            remat=self.remat,
             extra_block_index=0,
             extra_block_factory=lambda: ProjectionGraphConv(
                 64, 32, name="projection"

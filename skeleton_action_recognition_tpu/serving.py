@@ -12,8 +12,6 @@ packages a checkpointed model as a compiled predictor:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,9 +15,6 @@ phases (no retrace at the unfreeze epoch, unlike TF).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import importlib
 import os
-from typing import Iterable, Optional
+from typing import Iterable
 
 
 def import_class(name: str):
