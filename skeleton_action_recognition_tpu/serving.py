@@ -8,6 +8,10 @@ packages a checkpointed model as a compiled predictor:
 * data-parallel batch sharding over a mesh for multi-chip serving;
 * partial-batch padding so a single compiled shape serves any request
   size up to ``max_batch``.
+
+For the stock ST-GCN, :mod:`.models.export` additionally provides a
+folded-constant predictor (BatchNorms and the adjacency stack fused into
+the matmuls) — pass ``fused=True`` to use it.
 """
 
 from __future__ import annotations
@@ -28,14 +32,27 @@ class Predictor:
         max_batch: int = 64,
         mesh=None,
         axis: str = "data",
+        fused: bool = False,
     ):
         self.model = model
         self.max_batch = max_batch
         variables = {"params": params, "batch_stats": batch_stats}
 
-        def forward(x):
-            logits = model.apply(variables, x, train=False)
-            return jax.nn.softmax(logits, axis=-1)
+        if fused:
+            from skeleton_action_recognition_tpu.models.export import (
+                fused_stgcn_predictor,
+            )
+
+            fwd = fused_stgcn_predictor(params, batch_stats, jit=False)
+
+            def forward(x):
+                return jax.nn.softmax(fwd(x), axis=-1)
+
+        else:
+
+            def forward(x):
+                logits = model.apply(variables, x, train=False)
+                return jax.nn.softmax(logits, axis=-1)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
