@@ -1,0 +1,64 @@
+"""Input-pipeline robustness: corrupt records, streaming decode, shuffling."""
+
+import numpy as np
+import pytest
+
+from skeleton_action_recognition_tpu.data import tfrecord
+from skeleton_action_recognition_tpu.data.pipeline import TFRecordDataset
+
+
+def _write_records(path, n=6, t=4):
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(n, 3, t, 25, 2)).astype(np.float32)
+    with tfrecord.TFRecordWriter(str(path)) as w:
+        for i in range(n):
+            w.write(tfrecord.serialize_example(data[i], i))
+    return data
+
+
+def test_corrupt_payload_detected(tmp_path):
+    path = tmp_path / "x.tfrecord"
+    _write_records(path)
+    raw = bytearray(path.read_bytes())
+    raw[40] ^= 0xFF  # flip a byte inside the first payload
+    path.write_bytes(bytes(raw))
+    with pytest.raises(IOError, match="corrupt"):
+        list(tfrecord.TFRecordReader(str(path)))
+    # check_crc=False skips validation (fast path)
+    assert len(list(tfrecord.TFRecordReader(str(path), check_crc=False))) == 6
+
+
+def test_streaming_decode_matches_batch(tmp_path):
+    d = tmp_path / "ds"
+    d.mkdir()
+    data = _write_records(d / "a.tfrecord")
+    ds = TFRecordDataset(str(d), batch_size=4, num_classes=6)
+    streamed = list(ds.iter_decoded())
+    assert len(streamed) == 6
+    np.testing.assert_array_equal(streamed[2][0], data[2])
+    assert streamed[2][1] == 2
+
+
+def test_shuffle_is_seeded_and_covers_all(tmp_path):
+    d = tmp_path / "ds"
+    d.mkdir()
+    _write_records(d / "a.tfrecord")
+    ds1 = TFRecordDataset(
+        str(d), batch_size=2, num_classes=6, shuffle=True, seed=7
+    )
+    ds2 = TFRecordDataset(
+        str(d), batch_size=2, num_classes=6, shuffle=True, seed=7
+    )
+    labels1 = [
+        int(y.argmax()) for _, ys in ds1.batches() for y in ys
+    ]
+    labels2 = [
+        int(y.argmax()) for _, ys in ds2.batches() for y in ys
+    ]
+    assert labels1 == labels2  # deterministic under a seed
+    assert sorted(labels1) == list(range(6))  # full coverage
+
+
+def test_empty_directory_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        TFRecordDataset(str(tmp_path), batch_size=2)
