@@ -58,7 +58,7 @@ def main():
 
     model = stgcn.Model(num_classes=60, dtype=jnp.bfloat16, remat=True)
     tx = optax.sgd(0.1, momentum=0.9, nesterov=True)
-    state = create_train_state(model, jax.random.key(0), x, tx)
+    state = create_train_state(model, jax.random.key(0), x[:1], tx)
     step = make_train_step(global_batch_size=BATCH)
 
     def multi(k):

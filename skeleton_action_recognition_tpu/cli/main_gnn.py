@@ -166,8 +166,10 @@ def main(argv=None):
     tx = optax.sgd(lr, momentum=0.9, nesterov=True)
 
     sample, _ = next(iter(train_data.batches()))
+    # init on one sample: params/stats are batch-size independent, and an
+    # eager full-batch init needlessly peaks HBM
     state = ts_lib.create_train_state(
-        model, jax.random.key(arg.seed), jnp.asarray(sample), tx
+        model, jax.random.key(arg.seed), jnp.asarray(sample[:1]), tx
     )
 
     manager = ckpt_lib.CheckpointManager(

@@ -66,6 +66,8 @@ class FusedSTGCNPredictor:
         k_parts, v = a.shape[0], a.shape[1]
         self.v = v
         self.dtype = dtype
+        self.weights = []
+        self.static = []
 
         # data-BN affine over flattened (V*C) features
         dbn_scale, dbn_shift = _bn_affine(
@@ -123,31 +125,34 @@ class FusedSTGCNPredictor:
                 )
                 res = (rk * sr[None, :], rb * sr + tr)
 
-            self.blocks.append(
+            # weights live in a pytree passed as jit ARGUMENTS — folded
+            # weights total ~700 MB and would blow up the program as
+            # inlined constants
+            self.weights.append(
                 dict(
                     wf=jnp.asarray(wf, dtype),
                     bf=jnp.asarray(bf, jnp.float32),
                     ck=jnp.asarray(ck, dtype),
                     cb=jnp.asarray(cb, jnp.float32),
-                    stride=stride,
-                    residual=residual,
                     res=None if res is None else (
                         jnp.asarray(res[0], dtype),
                         jnp.asarray(res[1], jnp.float32),
                     ),
-                    c_out=c_out,
                 )
             )
+            self.static.append((stride, residual, c_out))
             c_in = c_out
 
         head = jax.device_get(params)["backbone"]["logits"]
-        self.logits_w = jnp.asarray(head["kernel"], jnp.float32)
-        self.logits_b = jnp.asarray(head["bias"], jnp.float32)
+        self.head = (
+            jnp.asarray(head["kernel"], jnp.float32),
+            jnp.asarray(head["bias"], jnp.float32),
+        )
 
-    def __call__(self, x):
+    def forward(self, weights, head, x):
         n, _, t, v, m = x.shape
         h = jnp.transpose(x, (0, 4, 2, 3, 1)).reshape(n * m, t, v, -1)
-        for blk in self.blocks:
+        for blk, (stride, residual, c_out) in zip(weights, self.static):
             nm, t_cur, _, c_in = h.shape
             flat = h.reshape(nm, t_cur, v * c_in).astype(self.dtype)
             z = (
@@ -157,23 +162,23 @@ class FusedSTGCNPredictor:
                 )
                 + blk["bf"]
             )
-            z = jnp.maximum(z, 0.0).reshape(nm, t_cur, v, blk["c_out"])
+            z = jnp.maximum(z, 0.0).reshape(nm, t_cur, v, c_out)
             z = jax.lax.conv_general_dilated(
                 z.astype(self.dtype),
                 blk["ck"],
-                window_strides=(blk["stride"], 1),
+                window_strides=(stride, 1),
                 padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32,
             ) + blk["cb"]
 
-            if not blk["residual"]:
+            if not residual:
                 res = 0.0
             elif blk["res"] is None:
                 res = h
             else:
                 rk, rb = blk["res"]
-                strided = h[:, :: blk["stride"]]
+                strided = h[:, ::stride]
                 res = (
                     jnp.einsum(
                         "ntvc,cd->ntvd", strided.astype(self.dtype), rk,
@@ -185,11 +190,21 @@ class FusedSTGCNPredictor:
 
         pooled = jnp.mean(h, axis=(1, 2))  # (NM, C)
         pooled = pooled.reshape(n, m, -1).mean(axis=1)
-        return pooled @ self.logits_w + self.logits_b
+        return pooled @ head[0] + head[1]
+
+    def __call__(self, x):
+        return self.forward(self.weights, self.head, x)
 
 
 def fused_stgcn_predictor(
     params, batch_stats, dtype=jnp.bfloat16, jit: bool = True
 ):
     pred = FusedSTGCNPredictor(params, batch_stats, dtype)
-    return jax.jit(pred.__call__) if jit else pred.__call__
+    if not jit:
+        return pred.__call__
+    fwd = jax.jit(pred.forward)  # weights as arguments, not constants
+
+    def run(x):
+        return fwd(pred.weights, pred.head, x)
+
+    return run
