@@ -39,20 +39,28 @@ class Predictor:
         variables = {"params": params, "batch_stats": batch_stats}
 
         if fused:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "fused predictor does not support mesh sharding yet"
+                )
             from skeleton_action_recognition_tpu.models.export import (
                 fused_stgcn_predictor,
             )
 
-            fwd = fused_stgcn_predictor(params, batch_stats, jit=False)
+            # already jitted with the ~700 MB folded-weight pytree passed
+            # as arguments — re-jitting here would inline it as program
+            # constants and blow the compiler's input limits
+            fwd = fused_stgcn_predictor(params, batch_stats, jit=True)
 
             def forward(x):
                 return jax.nn.softmax(fwd(x), axis=-1)
 
-        else:
+            self._fn = forward
+            return
 
-            def forward(x):
-                logits = model.apply(variables, x, train=False)
-                return jax.nn.softmax(logits, axis=-1)
+        def forward(x):
+            logits = model.apply(variables, x, train=False)
+            return jax.nn.softmax(logits, axis=-1)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

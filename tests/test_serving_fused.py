@@ -1,0 +1,33 @@
+"""Fused serving path: stock and folded predictors agree."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from skeleton_action_recognition_tpu import parallel, serving
+from skeleton_action_recognition_tpu.models import stgcn
+from skeleton_action_recognition_tpu.train import create_train_state
+
+
+def test_fused_serving_matches_stock(ntu_examples):
+    x = np.asarray(ntu_examples[:2, :, :16])
+    model = stgcn.Model(num_classes=6)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.asarray(x), optax.sgd(0.1)
+    )
+    params = jax.device_get(state.params)
+    bs = jax.device_get(state.batch_stats)
+
+    stock = serving.Predictor(model, params, bs, max_batch=2)
+    fused = serving.Predictor(model, params, bs, max_batch=2, fused=True)
+    ps, pf = stock(x), fused(x)
+    np.testing.assert_array_equal(ps.argmax(-1), pf.argmax(-1))
+    np.testing.assert_allclose(ps, pf, atol=5e-2)
+
+    with pytest.raises(NotImplementedError):
+        serving.Predictor(
+            model, params, bs, max_batch=8,
+            mesh=parallel.create_mesh(), fused=True,
+        )
