@@ -64,6 +64,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--loc-train-epoch", type=int, default=1000)
     # TPU-native extras
     parser.add_argument("--num-pad-frames", type=int, default=250)
+    parser.add_argument(
+        "--use-pallas", action="store_true",
+        help="fused Pallas radar kernel (fastest for inference; training "
+        "routes its VJP through the XLA formulation)",
+    )
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     return parser
@@ -98,6 +103,7 @@ def main(argv=None):
         num_classes=arg.num_classes,
         num_filters=arg.num_filters,
         num_pad_frames=arg.num_pad_frames,
+        use_pallas=arg.use_pallas,
     )
 
     datasets = {
