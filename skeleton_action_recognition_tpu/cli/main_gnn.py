@@ -207,6 +207,11 @@ def main(argv=None):
         print(f"Epoch: {epoch + 1}")
         t0 = time.time()
         samples = 0
+        # defer metric materialization to epoch end: a host fetch per step
+        # would serialize (and on lazily-executing backends, replay) the
+        # device pipeline; the per-iteration TB scalars are written with
+        # identical values afterwards
+        pending = []
         for xb, yb in train_data.batches():
             state, m = train_step(
                 state,
@@ -214,6 +219,8 @@ def main(argv=None):
                 jnp.asarray(yb),
                 epoch > arg.freeze_graph_until,
             )
+            pending.append(m)
+        for m in jax.device_get(pending):
             ce_m.update(float(m["loss"]))
             acc_m.update(int(m["correct"]), int(m["count"]))
             acc5_m.update(int(m["correct_top5"]), int(m["count"]))
