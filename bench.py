@@ -56,7 +56,9 @@ def main():
         jnp.asarray(rng.integers(0, 60, size=BATCH)), 60
     )
 
-    model = stgcn.Model(num_classes=60, dtype=jnp.bfloat16, remat=True)
+    # measured fastest config on v5e (remat off fits HBM at this batch
+    # with the conv-first contraction): 375 clips/s vs 343 remat / 245 prior
+    model = stgcn.Model(num_classes=60, dtype=jnp.bfloat16, remat=False)
     tx = optax.sgd(0.1, momentum=0.9, nesterov=True)
     state = create_train_state(model, jax.random.key(0), x[:1], tx)
     step = make_train_step(global_batch_size=BATCH)

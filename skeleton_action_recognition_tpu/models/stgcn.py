@@ -147,17 +147,27 @@ class STGCNBackbone(nn.Module):
     extra_block_factory: Optional[Callable[[], nn.Module]] = None
     dtype: Optional[Any] = None
     remat: bool = True
+    # 'full' recomputes whole blocks in backward; 'dots' saves matmul/conv
+    # outputs and recomputes only the cheap (HBM-bound) elementwise chains
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x, a, train: bool):
         x, n, m = reshape_skeleton_input(x)
         x = DataBatchNorm(name="data_bn")(x, train)
 
-        block_cls = (
-            nn.remat(STConvBlock, static_argnums=(3,))
-            if self.remat
-            else STConvBlock
-        )
+        if not self.remat:
+            block_cls = STConvBlock
+        elif self.remat_policy == "dots":
+            import jax
+
+            block_cls = nn.remat(
+                STConvBlock,
+                static_argnums=(3,),
+                policy=jax.checkpoint_policies.checkpoint_dots,
+            )
+        else:
+            block_cls = nn.remat(STConvBlock, static_argnums=(3,))
         for i, (filters, stride, residual) in enumerate(self.block_plan):
             x, a = block_cls(
                 filters,
@@ -188,6 +198,7 @@ class Model(nn.Module):
     trainable_adjacency: bool = False
     dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for MXU-rate compute
     remat: bool = True  # rematerialize blocks (trade FLOPs for HBM)
+    remat_policy: str = "full"  # or 'dots' (save matmuls, redo elementwise)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -202,5 +213,6 @@ class Model(nn.Module):
             self.num_classes,
             dtype=self.dtype,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             name="backbone",
         )(x, a, train)
