@@ -208,3 +208,86 @@ def fused_stgcn_predictor(
         return fwd(pred.weights, pred.head, x)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# int8 weight-only quantization of the folded predictor
+# ---------------------------------------------------------------------------
+
+def _quantize_cols(w: jnp.ndarray):
+    """Per-output-column symmetric int8 quantization of a 2-D weight."""
+    w64 = np.asarray(w, np.float32)
+    scale = np.abs(w64).max(axis=0) / 127.0
+    scale = np.where(scale == 0, 1.0, scale)
+    q = np.clip(np.round(w64 / scale[None, :]), -127, 127).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(scale, jnp.float32)
+
+
+class QuantizedSTGCNPredictor(FusedSTGCNPredictor):
+    """Folded predictor with int8 weight-only matmuls.
+
+    The big folded matrices (``wf``, up to 6400x6400) are stored as int8
+    with per-output-column scales; activations stay bf16 and the
+    contraction accumulates in int32/float32. Halves weight memory and
+    rides the v5e's 2x int8 MXU rate for the dominant matmuls; the
+    temporal convs stay bf16.
+    """
+
+    def __init__(self, params, batch_stats):
+        super().__init__(params, batch_stats, dtype=jnp.bfloat16)
+        for blk in self.weights:
+            q, scale = _quantize_cols(blk.pop("wf"))
+            blk["wf_q"] = q
+            blk["wf_scale"] = scale
+
+    def forward(self, weights, head, x):
+        n, _, t, v, m = x.shape
+        h = jnp.transpose(x, (0, 4, 2, 3, 1)).reshape(n * m, t, v, -1)
+        for blk, (stride, residual, c_out) in zip(weights, self.static):
+            nm, t_cur, _, c_in = h.shape
+            flat = h.reshape(nm, t_cur, v * c_in).astype(self.dtype)
+            z = jnp.einsum(
+                "ntf,fg->ntg",
+                flat,
+                blk["wf_q"].astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ) * blk["wf_scale"] + blk["bf"]
+            z = jnp.maximum(z, 0.0).reshape(nm, t_cur, v, c_out)
+            z = jax.lax.conv_general_dilated(
+                z.astype(self.dtype),
+                blk["ck"],
+                window_strides=(stride, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ) + blk["cb"]
+            if not residual:
+                res = 0.0
+            elif blk["res"] is None:
+                res = h
+            else:
+                rk, rb = blk["res"]
+                res = (
+                    jnp.einsum(
+                        "ntvc,cd->ntvd",
+                        h[:, ::stride].astype(self.dtype), rk,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + rb
+                )
+            h = jnp.maximum(z + res, 0.0)
+
+        pooled = jnp.mean(h, axis=(1, 2)).reshape(n, m, -1).mean(axis=1)
+        return pooled @ head[0] + head[1]
+
+
+def quantized_stgcn_predictor(params, batch_stats, jit: bool = True):
+    pred = QuantizedSTGCNPredictor(params, batch_stats)
+    if not jit:
+        return pred.__call__
+    fwd = jax.jit(pred.forward)
+
+    def run(x):
+        return fwd(pred.weights, pred.head, x)
+
+    return run

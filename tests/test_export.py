@@ -65,3 +65,26 @@ def test_fused_predictor_bf16_close(ntu_examples):
     np.testing.assert_array_equal(
         got.argmax(-1), reference.argmax(-1)
     )
+
+
+def test_quantized_predictor_preserves_predictions(ntu_examples):
+    model, state, x = _trained_state(ntu_examples, steps=2)
+    reference = np.asarray(
+        model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+        )
+    )
+    quant = export.quantized_stgcn_predictor(
+        state.params, state.batch_stats, jit=False
+    )
+    got = np.asarray(quant(x))
+    # int8 weight-only: logits close, argmax preserved
+    assert np.abs(got - reference).max() < 0.5
+    np.testing.assert_array_equal(
+        got.argmax(-1), reference.argmax(-1)
+    )
+    # int8 storage actually used
+    pred = export.QuantizedSTGCNPredictor(state.params, state.batch_stats)
+    assert pred.weights[0]["wf_q"].dtype == jnp.int8
