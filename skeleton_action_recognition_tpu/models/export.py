@@ -224,13 +224,14 @@ def _quantize_cols(w: jnp.ndarray):
 
 
 class QuantizedSTGCNPredictor(FusedSTGCNPredictor):
-    """Folded predictor with int8 weight-only matmuls.
+    """Folded predictor with int8 weight-only storage.
 
     The big folded matrices (``wf``, up to 6400x6400) are stored as int8
-    with per-output-column scales; activations stay bf16 and the
-    contraction accumulates in int32/float32. Halves weight memory and
-    rides the v5e's 2x int8 MXU rate for the dominant matmuls; the
-    temporal convs stay bf16.
+    with per-output-column scales and dequantized to bf16 at the matmul —
+    halving weight memory/HBM traffic. Measured throughput on v5e is at
+    parity with bf16 (1,577 vs 1,591 clips/s at B=256): these shapes are
+    compute-bound, so the win is memory footprint, not speed. (True int8
+    MXU rate would additionally need activation quantization.)
     """
 
     def __init__(self, params, batch_stats):
