@@ -19,9 +19,12 @@ trig (the ``sin^2(phi) + cos^2(phi)`` factor is identically 1). Same
 mathematics, fewer transcendentals, and no ``acos`` domain clamping
 needed.
 
-Differentiation: the kernel is wired with ``jax.custom_vjp`` whose
-backward pass evaluates the VJP of the (mathematically identical) XLA
-formulation — forward runs the fused kernel, gradients reuse XLA autodiff.
+Differentiation: the kernel stage carries a ``jax.custom_vjp`` whose
+backward is a second hand-derived Pallas kernel (recompute the forward
+intermediates per tile, differentiate the backscatter math on the VPU,
+one MXU matmul for ``dfeat``); the feature-gather and bone-statistic
+stages chain through ordinary JAX autodiff. The resampling operator is a
+precomputed scipy constant and receives a zero cotangent.
 """
 
 from __future__ import annotations
@@ -119,7 +122,10 @@ def _bone_length_mean_sq(x_raw, pad_operator, src_idx, dst_idx, tile):
         # amplitude, so sub-0.5% error here is invisible after the log,
         # unlike the phase-critical position interpolation
         b = jnp.einsum("ot,nctem->ncoem", w_tile, bone)
-        length = jnp.sqrt(jnp.sum(b * b, axis=1))  # (N, tile, E, M)
+        s = jnp.sum(b * b, axis=1)  # (N, tile, E, M)
+        # zero-gradient-at-zero norm: all-zero padded bodies are routine
+        zero = s == 0
+        length = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, s)))
         length = length * valid[None, :, None, None]
         return acc + jnp.sum(length, axis=1), None
 
@@ -130,31 +136,127 @@ def _bone_length_mean_sq(x_raw, pad_operator, src_idx, dst_idx, tile):
     return (total / t_out) ** 2  # (N, E, M)
 
 
-def _radar_fused_impl(x_raw, pad_operator, radar_location, wavelength,
-                      src_idx, dst_idx, tile):
-    n = x_raw.shape[0]
-    t_in = x_raw.shape[2]
-    t_out = pad_operator.shape[0]
-    num_tiles = -(-t_out // tile)
-    t_pad = num_tiles * tile
+def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref,
+                      gre_ref, gim_ref,
+                      dfeat_ref, dc_ref, dloc_ref, dlam_ref):
+    """Hand-derived backward of :func:`_radar_kernel`.
 
-    feat = _gather_features(x_raw, src_idx, dst_idx)
-    em = feat.shape[-1] // 6
-    # trailing dummy axes let block shapes equal the array's last two dims
-    # (Mosaic requires last-two block dims (8,128)-divisible or full)
-    c = _bone_length_mean_sq(
-        x_raw, pad_operator, src_idx, dst_idx, tile
-    ).reshape(n, 1, em)
+    Recomputes the forward intermediates for one (sample, time-tile) grid
+    step, differentiates the backscatter/phase math on the VPU, and emits
+    one MXU matmul (``dfeat += W_tile^T @ g_data``). Scalar/row
+    accumulators (``dc``, ``dloc``, ``dlam``) rely on the TPU grid
+    executing sequentially; the resampling operator's cotangent is zero
+    by contract.
+    """
+    i, j = pl.program_id(0), pl.program_id(1)
+    em = c_ref.shape[-1]
+    lam = lam_ref[0, 0]
+    lx, ly, lz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
+    k = 4.0 * np.pi / lam
 
-    w = jnp.pad(pad_operator, ((0, t_pad - t_out), (0, 0)))
-    lam = jnp.asarray(wavelength, jnp.float32).reshape(1, 1)
-    loc = jnp.asarray(radar_location, jnp.float32).reshape(1, 3)
+    # ---- recompute forward intermediates ----
+    data = jnp.dot(
+        w_ref[:], feat_ref[0], preferred_element_type=jnp.float32
+    )
+    sx, sy, sz = data[:, :em], data[:, em:2*em], data[:, 2*em:3*em]
+    dx, dy, dz = data[:, 3*em:4*em], data[:, 4*em:5*em], data[:, 5*em:6*em]
+    rx, ry, rz = sx - lx, sy - ly, sz - lz
+    dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+    ax, ay, az = lx - (sx + dx) * 0.5, ly - (sy + dy) * 0.5, lz - (sz + dz) * 0.5
+    bx, by, bz = dx - sx, dy - sy, dz - sz
+    dot = ax * bx + ay * by + az * bz
+    na = jnp.sqrt(ax * ax + ay * ay + az * az)
+    nb = jnp.sqrt(bx * bx + by * by + bz * bz)
+    den = na * nb + 1e-6
+    ct = dot / den
+    c = c_ref[0, 0][None, :]
+    ct2 = ct * ct
+    u = (1.0 - ct2) + c * ct2
+    au = jnp.abs(u)
+    amp = jnp.sqrt(np.pi * c) / au
+    phase = k * dist
+    cosp, sinp = jnp.cos(phase), jnp.sin(phase)
 
+    # ---- backward ----
+    gre = gre_ref[0, 0, 0, :][:, None]  # (TILE, 1)
+    gim = gim_ref[0, 0, 0, :][:, None]
+    g_amp = gre * cosp + gim * sinp
+    g_phase = amp * (gim * cosp - gre * sinp)
+    g_dist = g_phase * k
+    g_au = -(amp / au) * g_amp
+    g_u = jnp.sign(u) * g_au
+    g_ct = g_u * (2.0 * ct * (c - 1.0))
+    g_c = g_u * ct2 + g_amp * jnp.where(c > 0, amp / (2.0 * c), 0.0)
+    g_dot = g_ct / den
+    g_den = g_ct * (-ct / den)
+    inv_na = jnp.where(na > 0, 1.0 / jnp.where(na > 0, na, 1.0), 0.0)
+    inv_nb = jnp.where(nb > 0, 1.0 / jnp.where(nb > 0, nb, 1.0), 0.0)
+    inv_d = jnp.where(dist > 0, 1.0 / jnp.where(dist > 0, dist, 1.0), 0.0)
+    g_ax = g_dot * bx + g_den * nb * ax * inv_na
+    g_ay = g_dot * by + g_den * nb * ay * inv_na
+    g_az = g_dot * bz + g_den * nb * az * inv_na
+    g_bx = g_dot * ax + g_den * na * bx * inv_nb
+    g_by = g_dot * ay + g_den * na * by * inv_nb
+    g_bz = g_dot * az + g_den * na * bz * inv_nb
+    g_rx, g_ry, g_rz = g_dist * rx * inv_d, g_dist * ry * inv_d, g_dist * rz * inv_d
+
+    g_sx = g_rx - 0.5 * g_ax - g_bx
+    g_sy = g_ry - 0.5 * g_ay - g_by
+    g_sz = g_rz - 0.5 * g_az - g_bz
+    g_dx = -0.5 * g_ax + g_bx
+    g_dy = -0.5 * g_ay + g_by
+    g_dz = -0.5 * g_az + g_bz
+    g_data = jnp.concatenate(
+        [g_sx, g_sy, g_sz, g_dx, g_dy, g_dz], axis=1
+    )  # (TILE, 6*EM)
+
+    dfeat_tile = jnp.dot(
+        w_ref[:].T, g_data, preferred_element_type=jnp.float32
+    )  # (T_in, F)
+
+    @pl.when(j == 0)
+    def _():
+        dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
+        dc_ref[0, 0] = jnp.zeros_like(dc_ref[0, 0])
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        dloc_ref[0] = jnp.zeros_like(dloc_ref[0])
+        dlam_ref[0, 0] = 0.0
+
+    dfeat_ref[0] += dfeat_tile
+    dc_ref[0, 0] += jnp.sum(g_c, axis=0)
+    dloc_ref[0, 0] += jnp.sum(-g_rx + g_ax)
+    dloc_ref[0, 1] += jnp.sum(-g_ry + g_ay)
+    dloc_ref[0, 2] += jnp.sum(-g_rz + g_az)
+    dlam_ref[0, 0] += (-k / lam) * jnp.sum(g_phase * dist)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _kernel_op(w, feat, c, loc, lam, tile):
+    """The pallas-kernel boundary: padded operator + gathered features +
+    bone stats -> padded complex signal. ``custom_vjp`` with a hand-
+    derived Pallas backward.
+
+    Gradient contract: ``w`` (the resampling operator, a precomputed scipy
+    constant) gets a ZERO cotangent — callers wrap it in
+    ``lax.stop_gradient``; all trainable quantities flow through ``feat``,
+    ``c``, ``loc``, ``lam``.
+    """
+    return _kernel_fwd_impl(w, feat, c, loc, lam, tile)
+
+
+def _kernel_fwd_impl(w, feat, c, loc, lam, tile):
+    n, t_in, f = feat.shape
+    em = f // 6
+    t_pad = w.shape[0]
+    num_tiles = t_pad // tile
+    lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+    loc2 = jnp.asarray(loc, jnp.float32).reshape(1, 3)
     interpret = jax.default_backend() == "cpu"
-    grid = (n, num_tiles)
     re, im = pl.pallas_call(
         _radar_kernel,
-        grid=grid,
+        grid=(n, num_tiles),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -173,50 +275,88 @@ def _radar_fused_impl(x_raw, pad_operator, radar_location, wavelength,
             jax.ShapeDtypeStruct((n, num_tiles, 1, tile), jnp.float32),
         ],
         interpret=interpret,
-    )(lam, loc, w, feat, c)
-    re = re.reshape(n, t_pad)[:, :t_out]
-    im = im.reshape(n, t_pad)[:, :t_out]
-    return re, im
+    )(lam2, loc2, w, feat, c.reshape(n, 1, em))
+    return re.reshape(n, t_pad), im.reshape(n, t_pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _radar_fused(x_raw, pad_operator, radar_location, wavelength, edge_key):
-    src_idx, dst_idx, tile = edge_key
-    return _radar_fused_impl(
-        x_raw, pad_operator, radar_location, wavelength,
-        np.asarray(src_idx), np.asarray(dst_idx), tile,
+def _kernel_vjp_fwd(w, feat, c, loc, lam, tile):
+    out = _kernel_fwd_impl(w, feat, c, loc, lam, tile)
+    return out, (w, feat, c, loc, lam)
+
+
+def _kernel_vjp_bwd(tile, residuals, g):
+    w, feat, c, loc, lam = residuals
+    gre, gim = g
+    n, t_in, f = feat.shape
+    em = f // 6
+    t_pad = w.shape[0]
+    num_tiles = t_pad // tile
+    lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+    loc2 = jnp.asarray(loc, jnp.float32).reshape(1, 3)
+    interpret = jax.default_backend() == "cpu"
+    dfeat, dc, dloc, dlam = pl.pallas_call(
+        _radar_bwd_kernel,
+        grid=(n, num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, t_in), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, t_in, 6 * em), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, tile), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, tile), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t_in, 6 * em), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, t_in, 6 * em), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, em), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        lam2, loc2, w, feat, c.reshape(n, 1, em),
+        gre.reshape(n, num_tiles, 1, tile),
+        gim.reshape(n, num_tiles, 1, tile),
+    )
+    return (
+        jnp.zeros_like(w),  # resampling operator: constant by contract
+        dfeat,
+        dc.reshape(c.shape),
+        dloc.reshape(np.shape(loc)),
+        dlam.reshape(np.shape(lam)),
     )
 
 
-def _xla_reference(x_raw, pad_operator, radar_location, wavelength, edge_key):
-    from skeleton_action_recognition_tpu.ops.virtual_radar import (
-        radar_return_upsampled,
+_kernel_op.defvjp(_kernel_vjp_fwd, _kernel_vjp_bwd)
+
+
+def _radar_fused_impl(x_raw, pad_operator, radar_location, wavelength,
+                      src_idx, dst_idx, tile):
+    from jax import lax
+
+    t_out = pad_operator.shape[0]
+    num_tiles = -(-t_out // tile)
+    t_pad = num_tiles * tile
+
+    feat = _gather_features(x_raw, src_idx, dst_idx)
+    c = _bone_length_mean_sq(x_raw, pad_operator, src_idx, dst_idx, tile)
+
+    w = lax.stop_gradient(
+        jnp.pad(pad_operator, ((0, t_pad - t_out), (0, 0)))
     )
-
-    src_idx, dst_idx, _ = edge_key
-    edges = list(zip(src_idx, dst_idx))
-    return radar_return_upsampled(
-        x_raw, pad_operator, radar_location, wavelength, edges
+    re, im = _kernel_op(
+        w, feat, c, jnp.asarray(radar_location, jnp.float32),
+        jnp.asarray(wavelength, jnp.float32), tile,
     )
-
-
-def _fwd(x_raw, pad_operator, radar_location, wavelength, edge_key):
-    out = _radar_fused(
-        x_raw, pad_operator, radar_location, wavelength, edge_key
-    )
-    return out, (x_raw, pad_operator, radar_location, wavelength)
-
-
-def _bwd(edge_key, residuals, g):
-    x_raw, pad_operator, radar_location, wavelength = residuals
-    _, vjp = jax.vjp(
-        lambda *a: _xla_reference(*a, edge_key),
-        x_raw, pad_operator, radar_location, wavelength,
-    )
-    return vjp(g)
-
-
-_radar_fused.defvjp(_fwd, _bwd)
+    return re[:, :t_out], im[:, :t_out]
 
 
 def radar_return_fused(
@@ -229,13 +369,17 @@ def radar_return_fused(
 ):
     """Fused-Pallas equivalent of
     :func:`..virtual_radar.radar_return_upsampled` (same signature and
-    results up to f32 rounding); differentiable via the XLA formulation's
-    VJP."""
-    edge_key = (
-        tuple(int(e[0]) for e in edges),
-        tuple(int(e[1]) for e in edges),
-        int(tile),
-    )
-    return _radar_fused(
-        x_raw, pad_operator, radar_location, wavelength, edge_key
+    results up to f32 rounding).
+
+    Fully differentiable w.r.t. the joints, radar location, and
+    wavelength: the forward AND backward of the kernel stage are Pallas
+    (the backward re-derives the backscatter math by hand and emits one
+    MXU matmul per tile); the gather and bone-statistic stages chain via
+    ordinary JAX autodiff. The resampling operator is treated as a
+    constant (zero cotangent) — it is a precomputed scipy matrix."""
+    src_idx = np.asarray([e[0] for e in edges])
+    dst_idx = np.asarray([e[1] for e in edges])
+    return _radar_fused_impl(
+        x_raw, pad_operator, radar_location, wavelength,
+        src_idx, dst_idx, int(tile),
     )
