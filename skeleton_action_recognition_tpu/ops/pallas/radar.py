@@ -221,7 +221,9 @@ def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref,
 
     @pl.when(jnp.logical_and(i == 0, j == 0))
     def _():
-        dloc_ref[0] = jnp.zeros_like(dloc_ref[0])
+        dloc_ref[0, 0] = 0.0
+        dloc_ref[0, 1] = 0.0
+        dloc_ref[0, 2] = 0.0
         dlam_ref[0, 0] = 0.0
 
     dfeat_ref[0] += dfeat_tile
@@ -311,8 +313,12 @@ def _kernel_vjp_bwd(tile, residuals, g):
         out_specs=[
             pl.BlockSpec((1, t_in, 6 * em), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 3), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
+            # scalar accumulators live in SMEM (Mosaic rejects scalar
+            # stores to VMEM)
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, t_in, 6 * em), jnp.float32),
