@@ -302,6 +302,151 @@ def radar_return_sharded(
     return re[:, :t_out], im[:, :t_out]
 
 
+def radar_spectrogram_sharded(
+    x_raw,
+    pad_operator,
+    radar_location,
+    wavelength,
+    mesh,
+    edges: Sequence[Tuple[int, int]] = tuple(RADAR_EDGES),
+    axis_name: str = "data",
+    n_fft: int = 256,
+    hop_length: int = 16,
+):
+    """Fully sequence-parallel radar -> spectrogram: signal AND STFT
+    frames sharded over the mesh axis.
+
+    Extends :func:`radar_return_sharded` so the finished signal is never
+    gathered: each device keeps its own time slice and computes its own
+    STFT frames, fetching the ``n_fft/2``-sample halos it needs from its
+    neighbors with two ``ppermute``s over ICI (the SURVEY §5 long-context
+    design: "a halo-exchange of n_fft−hop samples between neighbors over
+    ICI suffices — embarrassingly parallel, no ring needed"). Boundary
+    devices reproduce the centered-STFT reflect padding locally; the
+    single final frame (frame count is ``T//hop + 1``) is computed from
+    the last device's tail.
+
+    Constraints: ``T_out`` divisible by ``n_devices``, the local length by
+    ``hop_length``, and halos of ``n_fft // 2`` must fit in one shard.
+
+    Returns the log-magnitude spectrogram ``(N, n_fft, T//hop + 1)``
+    replicated (frames are gathered at the very end — the spectrogram is
+    tiny compared to the signal).
+    """
+    from jax import lax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    src_idx = np.asarray([e[0] for e in edges])
+    dst_idx = np.asarray([e[1] for e in edges])
+    n_dev = mesh.shape[axis_name]
+    t_out = pad_operator.shape[0]
+    if t_out % n_dev or (t_out // n_dev) % hop_length:
+        raise ValueError(
+            f"T_out={t_out} must split evenly into {n_dev} hop-aligned "
+            "shards"
+        )
+    t_loc = t_out // n_dev
+    pad = n_fft // 2
+    if pad > t_loc:
+        raise ValueError("halo exceeds local shard length")
+
+    cos_np, sin_np = stft_ops.stft_basis(n_fft)
+    cos_b, sin_b = jnp.asarray(cos_np), jnp.asarray(sin_np)
+
+    def local_fn(w_local, x_rep, loc, lam):
+        # --- local radar signal (same as radar_return_sharded) ---
+        src_raw = x_rep[:, :, :, src_idx]
+        dst_raw = x_rep[:, :, :, dst_idx]
+        tile = _pick_tile(t_loc)
+        wt = w_local.reshape(t_loc // tile, tile, -1)
+
+        def interp(w_tile, raw):
+            return jnp.einsum(
+                "ot,nctem->ncoem", w_tile, raw,
+                precision=lax.Precision.HIGHEST,
+            )
+
+        def length_pass(carry, w_tile):
+            bone = interp(w_tile, dst_raw - src_raw)
+            return carry + jnp.sum(_safe_norm(bone, axis=1), axis=1), None
+
+        n, _, _, e, m = src_raw.shape
+        local_sum, _ = lax.scan(
+            length_pass, jnp.zeros((n, e, m), x_rep.dtype), wt
+        )
+        mean_len = (lax.psum(local_sum, axis_name) / t_out)[:, None]
+        loc_b = loc[None, :, None, None, None]
+
+        def signal_pass(_, w_tile):
+            s = interp(w_tile, src_raw)
+            d = interp(w_tile, dst_raw)
+            return None, _edge_returns(s, d, loc_b, loc, lam, mean_len)
+
+        _, (re_t, im_t) = lax.scan(signal_pass, None, wt)
+        sig = jnp.stack(
+            [
+                jnp.moveaxis(re_t, 0, 1).reshape(n, t_loc),
+                jnp.moveaxis(im_t, 0, 1).reshape(n, t_loc),
+            ],
+            axis=1,
+        )  # (N, 2, T_loc)
+
+        # --- halo exchange: left/right n_fft/2 samples over ICI ---
+        idx = lax.axis_index(axis_name)
+        perm_r = [(d, (d + 1) % n_dev) for d in range(n_dev)]
+        perm_l = [(d, (d - 1) % n_dev) for d in range(n_dev)]
+        left = lax.ppermute(sig[:, :, -pad:], axis_name, perm_r)
+        right = lax.ppermute(sig[:, :, :pad], axis_name, perm_l)
+        # boundary devices: centered-STFT reflect padding of their own edge
+        reflect_l = jnp.flip(sig[:, :, 1 : pad + 1], axis=-1)
+        reflect_r = jnp.flip(sig[:, :, -pad - 1 : -1], axis=-1)
+        left = jnp.where(idx == 0, reflect_l, left)
+        right = jnp.where(idx == n_dev - 1, reflect_r, right)
+        padded = jnp.concatenate([left, sig, right], axis=-1)
+
+        # --- local frames: T_loc/hop of the global T_out/hop + 1 ---
+        re_loc, im_loc = stft_ops.stft_complex(
+            padded[:, 0], padded[:, 1], hop_length, cos_b, sin_b,
+            center=False,
+        )
+        f_loc = t_loc // hop_length
+        re_loc = re_loc[..., :f_loc]
+        im_loc = im_loc[..., :f_loc]
+        re_all = lax.all_gather(re_loc, axis_name, axis=2, tiled=True)
+        im_all = lax.all_gather(im_loc, axis_name, axis=2, tiled=True)
+
+        # final (T//hop + 1)-th frame from the last device's tail
+        tail = jnp.concatenate(
+            [sig[:, :, -pad:], reflect_r], axis=-1
+        )  # (N, 2, n_fft)
+        re_f, im_f = stft_ops.stft_complex(
+            tail[:, 0], tail[:, 1], hop_length, cos_b, sin_b,
+            center=False,
+        )
+        last = jnp.stack([re_f[..., 0], im_f[..., 0]], axis=0)
+        last = lax.psum(
+            jnp.where(idx == n_dev - 1, last, jnp.zeros_like(last)),
+            axis_name,
+        )
+        re_full = jnp.concatenate([re_all, last[0][..., None]], axis=-1)
+        im_full = jnp.concatenate([im_all, last[1][..., None]], axis=-1)
+        return stft_ops.log_magnitude(re_full, im_full)
+
+    t_pad_rows = t_loc * n_dev
+    w = jnp.pad(
+        pad_operator, ((0, t_pad_rows - t_out), (0, 0))
+    )
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(), P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )(w, x_raw, jnp.asarray(radar_location, jnp.float32),
+      jnp.asarray(wavelength, jnp.float32))
+
+
 def virtual_radar_spectrogram(
     x,
     radar_location,

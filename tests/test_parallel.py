@@ -98,6 +98,39 @@ def test_sequence_parallel_radar_matches(eight_devices, ntu_examples):
     )
 
 
+def test_sharded_spectrogram_matches(eight_devices, ntu_examples):
+    """Fully-sharded radar -> halo-exchange STFT == the single-device
+    spectrogram (high-energy bins; log nulls are numerically chaotic)."""
+    from skeleton_action_recognition_tpu.ops.resample import (
+        pad_frames_operator,
+    )
+    from skeleton_action_recognition_tpu.ops.virtual_radar import (
+        radar_spectrogram_sharded,
+        virtual_radar_spectrogram,
+    )
+
+    mesh = parallel.create_mesh(devices=eight_devices)
+    d = np.asarray(ntu_examples[:2, :, :32])
+    x = jnp.asarray(d)
+    w = jnp.asarray(pad_frames_operator(32, 64))  # T_out 2048 = 8 * 256
+    loc, lam = jnp.zeros(3), jnp.asarray(5e-4)
+
+    spec_s = np.asarray(
+        jax.jit(
+            lambda x: radar_spectrogram_sharded(x, w, loc, lam, mesh)
+        )(x)
+    )
+    padded = np.einsum("ot,nctvm->ncovm", np.asarray(w), d)
+    spec_r = np.asarray(
+        virtual_radar_spectrogram(jnp.asarray(padded), loc, lam)
+    )
+    assert spec_s.shape == spec_r.shape == (2, 256, 129)
+    mask = spec_r > np.median(spec_r)
+    diff = np.abs(spec_s - spec_r)[mask]
+    assert diff.max() < 0.15
+    assert diff.mean() < 0.01
+
+
 def test_batch_sharding_layout(eight_devices):
     mesh = parallel.create_mesh(devices=eight_devices)
     x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
