@@ -30,13 +30,19 @@ def _path_has(path, needle: str) -> bool:
 
 
 def mask_gradients_by_name(grads, needle: str, enabled):
-    """Scale gradients of params whose path contains ``needle`` by
-    ``enabled`` (a traced 0/1 scalar)."""
-    scale = jnp.asarray(enabled, jnp.float32)
+    """Zero gradients of params whose path contains ``needle`` unless
+    ``enabled`` (a traced bool/0-1 scalar).
+
+    Uses ``where``, NOT multiplication: the radar parameters' raw
+    gradients overflow f32 (the ``4*pi/lambda^2`` factor is ~5e7 summed
+    over millions of timestep-edge terms), and ``0 * inf = nan`` would
+    poison the optimizer state of the very parameters the mask is
+    supposed to freeze."""
+    on = jnp.asarray(enabled, bool)
 
     def mask(path, g):
         if _path_has(path, needle):
-            return g * scale
+            return jnp.where(on, g, jnp.zeros_like(g))
         return g
 
     return jax.tree_util.tree_map_with_path(mask, grads)

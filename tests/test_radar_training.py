@@ -69,3 +69,28 @@ def test_radar_training_decreases_loss(radar_state):
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_freeze_mask_kills_nonfinite_gradients():
+    """Frozen params must stay clean even when their raw gradients
+    overflow (the radar 4*pi/lambda^2 sums overflow f32 at real scale;
+    `0 * inf = nan` poisoned the optimizer before this was a `where`)."""
+    grads = {
+        "virtual_radar": {"radar_lambda": jnp.asarray(jnp.inf)},
+        "dense": {"kernel": jnp.ones((2, 2))},
+    }
+    masked = steps_lib.mask_gradients_by_name(
+        grads, "radar_lambda", False
+    )
+    assert float(masked["virtual_radar"]["radar_lambda"]) == 0.0
+    nan_grads = {
+        "virtual_radar": {"radar_lambda": jnp.asarray(jnp.nan)},
+        "dense": {"kernel": jnp.ones((2, 2))},
+    }
+    masked = steps_lib.mask_gradients_by_name(
+        nan_grads, "radar_lambda", False
+    )
+    assert float(masked["virtual_radar"]["radar_lambda"]) == 0.0
+    # enabled=True passes values through untouched
+    passed = steps_lib.mask_gradients_by_name(grads, "radar_lambda", True)
+    assert np.isinf(float(passed["virtual_radar"]["radar_lambda"]))
