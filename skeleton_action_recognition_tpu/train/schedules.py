@@ -22,14 +22,17 @@ def reference_gnn_boundaries(
 
 
 def piecewise_constant(base_lr: float, boundaries: Sequence[int], decay=0.1):
-    """``base_lr * decay^i`` after the i-th boundary (PiecewiseConstantDecay)."""
+    """``base_lr * decay^i`` after the i-th boundary.
+
+    Matches TF ``PiecewiseConstantDecay`` exactly: boundaries are
+    left-inclusive (``values[0]`` while ``step <= boundaries[0]``)."""
     bounds = jnp.asarray(list(boundaries))
     values = jnp.asarray(
         [base_lr * (decay**i) for i in range(len(boundaries) + 1)]
     )
 
     def schedule(count):
-        idx = jnp.sum(count >= bounds)
+        idx = jnp.sum(count > bounds)
         return values[idx]
 
     return schedule

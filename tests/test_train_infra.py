@@ -30,12 +30,22 @@ def test_reference_boundaries():
     assert reference_gnn_boundaries([10, 50], 64) == [6250, 31250]
 
 
-def test_piecewise_constant_schedule():
+def test_piecewise_constant_schedule_matches_tf():
     sched = piecewise_constant(0.1, [10, 20])
     assert float(sched(0)) == pytest.approx(0.1)
-    assert float(sched(9)) == pytest.approx(0.1)
-    assert float(sched(10)) == pytest.approx(0.01)
-    assert float(sched(20)) == pytest.approx(0.001)
+    # TF PiecewiseConstantDecay is left-inclusive at boundaries
+    assert float(sched(10)) == pytest.approx(0.1)
+    assert float(sched(11)) == pytest.approx(0.01)
+    assert float(sched(20)) == pytest.approx(0.01)
+    assert float(sched(21)) == pytest.approx(0.001)
+    tf = pytest.importorskip("tensorflow")
+    ref = tf.keras.optimizers.schedules.PiecewiseConstantDecay(
+        [10, 20], [0.1, 0.01, 0.001]
+    )
+    for step in (0, 9, 10, 11, 19, 20, 21, 100):
+        assert float(sched(step)) == pytest.approx(
+            float(ref(step).numpy())
+        )
 
 
 def test_cyclic_lr_matches_torch():
