@@ -81,3 +81,24 @@ class Graph:
             )
             return a[1:]
         raise ValueError(f"unknown labeling_mode: {labeling_mode!r}")
+
+
+if __name__ == "__main__":
+    # visual debugging entry point (the reference plots adjacency
+    # matrices from graph/ntu_rgb_d.py:43-54); saves heatmaps to disk
+    import sys
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "spatial"
+    a = Graph(mode).A
+    fig, axes = plt.subplots(1, len(a), figsize=(4 * len(a), 4))
+    for i, (ax, mat) in enumerate(zip(np.atleast_1d(axes), a)):
+        ax.imshow(mat, cmap="gray")
+        ax.set_title(f"{mode}[{i}]")
+    out = f"/tmp/adjacency_{mode}.png"
+    plt.savefig(out, dpi=80)
+    print(f"{a.shape} -> {out}")
