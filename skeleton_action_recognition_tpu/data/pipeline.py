@@ -80,6 +80,7 @@ class TFRecordDataset:
         process_count: int = 1,
         prefetch: int = 2,
         transform=None,
+        stream: bool = False,
     ):
         records = sorted(
             os.path.join(directory, f)
@@ -95,6 +96,7 @@ class TFRecordDataset:
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
         self.transform = transform
+        self.stream = stream
         self._rng = np.random.default_rng(seed)
         self._cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
@@ -125,9 +127,64 @@ class TFRecordDataset:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _stream_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Larger-than-RAM mode: decode shard-by-shard each epoch, with a
+        background prefetch thread; shuffling is per-epoch shard order plus
+        within-shard permutation (the standard sharded-corpus compromise)."""
+        shards = list(self.records)
+        if self.shuffle:
+            self._rng.shuffle(shards)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            carry_x, carry_y = [], []
+            for shard in shards:
+                feats, labels = [], []
+                for payload in tfrecord.TFRecordReader([shard]):
+                    f, l = tfrecord.parse_example(payload)
+                    feats.append(f)
+                    labels.append(l)
+                order = np.arange(len(feats))
+                if self.shuffle:
+                    order = self._rng.permutation(order)
+                for idx in order:
+                    carry_x.append(feats[idx])
+                    carry_y.append(labels[idx])
+                    if len(carry_x) == self.batch_size:
+                        batch = np.stack(carry_x).astype(np.float32)
+                        if self.transform is not None:
+                            batch = self.transform(batch)
+                        q.put(
+                            (batch,
+                             _one_hot(np.asarray(carry_y),
+                                      self.num_classes))
+                        )
+                        carry_x, carry_y = [], []
+            if carry_x and not self.drop_remainder:
+                batch = np.stack(carry_x).astype(np.float32)
+                if self.transform is not None:
+                    batch = self.transform(batch)
+                q.put(
+                    (batch,
+                     _one_hot(np.asarray(carry_y), self.num_classes))
+                )
+            q.put(stop)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
     def batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield ``(features, one_hot_labels)`` batches with background
         prefetch."""
+        if self.stream:
+            yield from self._stream_batches()
+            return
         data, labels = self._load_all()
         order = np.arange(len(data))
         if self.shuffle:

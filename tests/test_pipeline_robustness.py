@@ -62,3 +62,33 @@ def test_shuffle_is_seeded_and_covers_all(tmp_path):
 def test_empty_directory_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         TFRecordDataset(str(tmp_path), batch_size=2)
+
+
+def test_streaming_mode_matches_cached(tmp_path):
+    d = tmp_path / "ds"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(10, 3, 4, 25, 2)).astype(np.float32)
+    tfrecord.write_dataset(
+        data, np.arange(10), str(d), "t", num_shards=3
+    )
+    cached = TFRecordDataset(str(d), batch_size=4, num_classes=10)
+    streamed = TFRecordDataset(
+        str(d), batch_size=4, num_classes=10, stream=True
+    )
+    lc = [int(y.argmax()) for _, ys in cached.batches() for y in ys]
+    ls = [int(y.argmax()) for _, ys in streamed.batches() for y in ys]
+    assert sorted(lc) == sorted(ls) == list(range(10))
+    # shuffled streaming still covers everything (per-shard shuffle)
+    sh = TFRecordDataset(
+        str(d), batch_size=4, num_classes=10, stream=True, shuffle=True
+    )
+    assert sorted(
+        int(y.argmax()) for _, ys in sh.batches() for y in ys
+    ) == list(range(10))
+    # drop_remainder drops the final partial batch
+    dr = TFRecordDataset(
+        str(d), batch_size=4, num_classes=10, stream=True,
+        drop_remainder=True,
+    )
+    assert sum(len(ys) for _, ys in dr.batches()) == 8
