@@ -71,3 +71,35 @@ def test_ensemble_end_to_end(tmp_path, ntu_examples):
     assert 0.0 <= report["ensemble_top1"] <= 1.0
     assert report["ensemble_top5"] == 1.0  # 4 classes -> top5 is trivially 1
     assert "joint_top1" in report and "bone_top1" in report
+
+
+@pytest.mark.slow
+def test_evaluate_cli(tmp_path, ntu_examples):
+    from skeleton_action_recognition_tpu.cli import evaluate
+
+    rng = np.random.default_rng(1)
+    base = ntu_examples[:, :, :32]
+    data = np.tile(base, (2, 1, 1, 1, 1)) + rng.normal(
+        0, 0.01, (8,) + base.shape[1:]
+    ).astype(np.float32)
+    labels = np.arange(8) % 4
+    d = tmp_path / "val"
+    tfrecord.write_dataset(data, labels, str(d), "val", num_shards=1)
+
+    log_dir = tmp_path / "logs"
+    main_gnn.main([
+        "--model", "stgcn", "--batch-size", "1", "--num-epochs", "1",
+        "--save-freq", "1", "--num-classes", "4",
+        "--train-data-path", str(d), "--test-data-path", str(d),
+        "--log-dir", str(log_dir), "--base-lr", "0.01",
+    ])
+    ckpt = str(log_dir / os.listdir(log_dir)[0] / "checkpoints")
+
+    for predictor in ("stock", "folded"):
+        report = evaluate.main([
+            "--model", "stgcn", "--checkpoint", ckpt,
+            "--test-data-path", str(d), "--num-classes", "4",
+            "--batch-size", "8", "--predictor", predictor,
+        ])
+        assert report["samples"] == 8
+        assert 0.0 <= report["top1"] <= 1.0
