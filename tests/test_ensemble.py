@@ -95,7 +95,7 @@ def test_evaluate_cli(tmp_path, ntu_examples):
     ])
     ckpt = str(log_dir / os.listdir(log_dir)[0] / "checkpoints")
 
-    for predictor in ("stock", "folded"):
+    for predictor in ("stock", "folded", "int8"):
         report = evaluate.main([
             "--model", "stgcn", "--checkpoint", ckpt,
             "--test-data-path", str(d), "--num-classes", "4",
