@@ -89,6 +89,12 @@ def get_parser() -> argparse.ArgumentParser:
         help="derive this stream from the joint TFRecords on the fly "
         "(replaces the reference's per-stream dataset copies)",
     )
+    parser.add_argument(
+        "--trainable-adjacency", action="store_true",
+        help="make the adjacency stack a trainable parameter (it then "
+        "obeys --freeze-graph-until; the reference's ST-GCN adjacency is "
+        "non-trainable, so that flag is a no-op there)",
+    )
     parser.add_argument("--resume", action="store_true")
     parser.add_argument(
         "--l2-weight", type=float, default=0.0,
@@ -131,12 +137,12 @@ def main(argv=None):
         "skeleton_action_recognition_tpu.models." + arg.model
     ).Model
     config_lib.snapshot_sources(log_dir, [model_cls])
+    fields = getattr(model_cls, "__dataclass_fields__", {})
     model_kwargs = {"num_classes": arg.num_classes}
-    if (
-        arg.dtype == "bfloat16"
-        and "dtype" in getattr(model_cls, "__dataclass_fields__", {})
-    ):
+    if arg.dtype == "bfloat16" and "dtype" in fields:
         model_kwargs["dtype"] = jnp.bfloat16
+    if arg.trainable_adjacency and "trainable_adjacency" in fields:
+        model_kwargs["trainable_adjacency"] = True
     model = model_cls(**model_kwargs)
 
     transform = stream_transform(arg.stream)

@@ -147,3 +147,50 @@ def test_data_gen_chain(tmp_path):
         )
         assert len(recs) == expected_n
         assert recs[0][0].shape == (3, 300, 25, 2)
+
+
+@pytest.mark.slow
+def test_main_gnn_trainable_adjacency_freeze(
+    tiny_tfrecord_dataset, tmp_path
+):
+    """--trainable-adjacency + --freeze-graph-until: the adjacency stays
+    at its init through a fully-frozen run."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from skeleton_action_recognition_tpu.graphs import Graph
+    from skeleton_action_recognition_tpu.models import stgcn
+    from skeleton_action_recognition_tpu.train import (
+        checkpoint as ckpt_lib,
+        create_train_state,
+    )
+
+    train_dir, test_dir = tiny_tfrecord_dataset
+    log_dir = tmp_path / "logs_adj"
+    main_gnn.main([
+        "--model", "stgcn", "--trainable-adjacency",
+        "--freeze-graph-until", "99",
+        "--batch-size", "2", "--num-epochs", "1", "--save-freq", "1",
+        "--num-classes", "4",
+        "--train-data-path", str(train_dir),
+        "--test-data-path", str(test_dir),
+        "--log-dir", str(log_dir), "--base-lr", "0.05",
+    ])
+    ckpt = glob.glob(str(log_dir / "*" / "checkpoints"))[0]
+    model = stgcn.Model(num_classes=4, trainable_adjacency=True)
+    x = jnp.zeros((1, 3, 32, 25, 2))
+    state = create_train_state(
+        model, jax.random.key(0), x, optax.sgd(0.1)
+    )
+    mgr = ckpt_lib.CheckpointManager(ckpt)
+    params, _, _ = mgr.restore_for_eval(
+        jax.device_get(state.params), jax.device_get(state.batch_stats)
+    )
+    mgr.close()
+    np.testing.assert_array_equal(
+        np.asarray(params["adjacency_matrix"]),
+        Graph("spatial").A.astype(np.float32),
+    )
