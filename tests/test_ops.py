@@ -149,3 +149,32 @@ def test_gin_aggregate_appends_selfloop_last():
     np.testing.assert_allclose(
         np.asarray(got)[:, :, -1], (1 + eps) * x, atol=1e-5
     )
+
+
+def test_stft_basis_freq_bins_subset():
+    cos_full, _ = ops.stft_basis(256)
+    cos_sub, sin_sub = ops.stft_basis(256, freq_bins=64)
+    assert cos_sub.shape == sin_sub.shape == (64, 256)
+    np.testing.assert_allclose(cos_sub, cos_full[:64], atol=0)
+
+
+def test_graph_conv_static_adjacency():
+    import jax
+
+    from skeleton_action_recognition_tpu.models.gcn import GraphConv
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 25, 4)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(25, 25)).astype(np.float32))
+    layer = GraphConv(8)
+    variables = layer.init(jax.random.key(0), x, a)
+    out, a_out = layer.apply(variables, x, a)
+    assert out.shape == (2, 25, 8)
+    # matches the reference einsum semantics 'ncv,vw->ncw' (channels-last)
+    k = np.asarray(variables["params"]["Dense_0"]["kernel"])
+    b = np.asarray(variables["params"]["Dense_0"]["bias"])
+    z = np.asarray(x) @ k + b
+    np.testing.assert_allclose(
+        np.asarray(out), np.einsum("nvc,vw->nwc", z, np.asarray(a)),
+        atol=1e-5,
+    )
