@@ -77,8 +77,11 @@ def get_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     arg = get_parser().parse_args(argv)
+    parallel.mesh.maybe_initialize_distributed()
     mesh = parallel.create_mesh()
     dp = parallel.DataParallel(mesh)
+    num_replicas = mesh.devices.size
+    global_batch = arg.batch_size * num_replicas
 
     run_params = dict(vars(arg))
     for k in ("data_path", "label_path", "log_dir", "resume", "seed"):
@@ -111,9 +114,12 @@ def main(argv=None):
         part: NumpyDataset(
             arg.data_path.format(part),
             arg.label_path.format(part),
-            batch_size=arg.batch_size,
+            batch_size=global_batch,
             num_classes=arg.num_classes,
             shuffle=(part == "train"),
+            # the sharded train step is compiled for one global batch
+            # shape; eval pads partial batches instead (below)
+            drop_remainder=(part == "train"),
             seed=arg.seed,
         )
         for part in ("train", "val")
@@ -137,11 +143,13 @@ def main(argv=None):
             start_epoch = (extra or {}).get("epoch", 0) + 1
 
     state = dp.shard_state(state)
-    train_step = jax.jit(
-        steps_lib.make_radar_train_step(arg.batch_size),
-        donate_argnums=(0,),
+    # batch sharded over the mesh's data axis, state replicated; XLA
+    # inserts the gradient all-reduce — the TPU-native analogue of the
+    # reference's torch.nn.DataParallel (main_spectrogram.py:118-119)
+    train_step = dp.jit_train_step(
+        steps_lib.make_radar_train_step(global_batch), n_flags=2
     )
-    eval_step = jax.jit(steps_lib.make_eval_step())
+    eval_step = dp.jit_eval_step(steps_lib.make_eval_step())
 
     writer = tb_writer.SummaryWriter(log_dir)
 
@@ -155,16 +163,27 @@ def main(argv=None):
             cm = metrics_lib.ConfusionMatrix(arg.num_classes)
             t0 = time.time()
             for i, (xb, yb) in enumerate(datasets[phase].batches()):
-                xb, yb = jnp.asarray(xb), jnp.asarray(yb)
                 if phase == "train":
+                    xs, ys = dp.shard_batch(xb, yb)
                     state, m = train_step(
-                        state, xb, yb, train_lambda, train_loc
+                        state, xs, ys, train_lambda, train_loc
                     )
-                    preds = np.asarray(m["preds"])
                     loss_m.update(float(m["loss"]))
                     acc_m.update(int(m["correct"]), int(m["count"]))
                 else:
-                    probs = np.asarray(eval_step(state, xb))
+                    n = len(xb)
+                    if n < global_batch:
+                        # pad the final partial batch so the sharded eval
+                        # step keeps one compiled shape; surplus rows are
+                        # sliced off below
+                        xb = np.concatenate(
+                            [xb,
+                             np.zeros((global_batch - n,) + xb.shape[1:],
+                                      xb.dtype)]
+                        )
+                    probs = np.asarray(
+                        eval_step(state, dp.shard_batch(xb))
+                    )[:n]
                     preds = probs.argmax(-1)
                     labels = np.asarray(yb).argmax(-1)
                     acc_m.update(

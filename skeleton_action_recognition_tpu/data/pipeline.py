@@ -228,6 +228,7 @@ class NumpyDataset:
         batch_size: int,
         num_classes: int = 60,
         shuffle: bool = False,
+        drop_remainder: bool = False,
         seed: int = 0,
     ):
         with open(label_path, "rb") as f:
@@ -237,9 +238,12 @@ class NumpyDataset:
         self.batch_size = batch_size
         self.num_classes = num_classes
         self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
+        if self.drop_remainder:
+            return len(self.labels) // self.batch_size
         return (
             len(self.labels) + self.batch_size - 1
         ) // self.batch_size
@@ -248,6 +252,8 @@ class NumpyDataset:
         order = np.arange(len(self.labels))
         if self.shuffle:
             order = self._rng.permutation(order)
+        if self.drop_remainder:
+            order = order[: len(order) - len(order) % self.batch_size]
         for i in range(0, len(order), self.batch_size):
             idx = np.sort(order[i : i + self.batch_size])
             yield (

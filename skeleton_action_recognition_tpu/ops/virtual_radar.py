@@ -242,7 +242,7 @@ def radar_return_sharded(
     Returns replicated ``(re, im)`` of shape ``(N, T_out)``.
     """
     from jax import lax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     src_idx = np.asarray([e[0] for e in edges])
@@ -296,7 +296,7 @@ def radar_return_sharded(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )(w, x_raw, jnp.asarray(radar_location, jnp.float32),
       jnp.asarray(wavelength, jnp.float32))
     return re[:, :t_out], im[:, :t_out]
@@ -334,7 +334,7 @@ def radar_spectrogram_sharded(
     tiny compared to the signal).
     """
     from jax import lax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     src_idx = np.asarray([e[0] for e in edges])
@@ -442,7 +442,7 @@ def radar_spectrogram_sharded(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(w, x_raw, jnp.asarray(radar_location, jnp.float32),
       jnp.asarray(wavelength, jnp.float32))
 

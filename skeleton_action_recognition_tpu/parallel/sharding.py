@@ -32,16 +32,21 @@ class DataParallel:
         )
         return out if len(out) > 1 else out[0]
 
-    def jit_train_step(self, step):
-        """Compile a step with state replicated and batch sharded."""
+    def jit_train_step(self, step, n_flags: int = 1):
+        """Compile a step with state replicated and batch sharded.
+
+        ``n_flags`` is the number of trailing scalar arguments after
+        ``(state, x, y)`` — 1 for the GNN step's ``train_adj``, 2 for the
+        radar step's ``(train_lambda, train_loc)``.
+        """
         return jax.jit(
             step,
             in_shardings=(
                 self.replicated,
                 self.batch_sharding,
                 self.batch_sharding,
-                None,
-            ),
+            )
+            + (None,) * n_flags,
             out_shardings=(self.replicated, self.replicated),
             donate_argnums=(0,),
         )

@@ -77,16 +77,22 @@ def test_main_spectrogram_end_to_end(tmp_path):
     base = np.load(
         "/root/reference/data/NTU_preprocessed_skeleton_examples.npy"
     )[:, :, :30].astype(np.float32)
-    for part, n in (("train", 4), ("val", 4)):
-        data = base[:n] + rng.normal(0, 0.01, base[:n].shape).astype(
-            np.float32
-        )
+    # train: one full global batch on the 8-device test mesh (batch-size
+    # is per-chip); val: 4 samples so the padded partial-batch eval path
+    # is exercised
+    for part, n in (("train", 8), ("val", 4)):
+        reps = (n + len(base) - 1) // len(base)
+        src = np.tile(base, (reps, 1, 1, 1, 1))[:n]
+        data = src + rng.normal(0, 0.01, src.shape).astype(np.float32)
         np.save(tmp_path / f"{part}_data_joint.npy", data)
         with open(tmp_path / f"{part}_label.pkl", "wb") as f:
-            pickle.dump(([str(i) for i in range(n)], list(range(n))), f)
+            pickle.dump(
+                ([str(i) for i in range(n)],
+                 [i % 4 for i in range(n)]), f
+            )
 
     argv = [
-        "--batch-size", "2",
+        "--batch-size", "1",
         "--num-epochs", "1",
         "--num-classes", "4",
         "--num-filters", "8",

@@ -11,6 +11,7 @@ from skeleton_action_recognition_tpu.models import stgcn
 from skeleton_action_recognition_tpu.train import (
     create_train_state,
     make_train_step,
+    steps as steps_mod,
 )
 
 
@@ -64,6 +65,50 @@ def test_data_parallel_step_matches_single_device(
     for a, b in zip(l1, l2):
         # tolerance covers f32 reduction-order differences (BN stats and
         # gradient all-reduce accumulate in shard order under DP)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4
+        )
+
+
+def test_radar_train_step_matches_single_device(
+    eight_devices, ntu_examples
+):
+    """The sharded spectrogram train step (cli/main_spectrogram.py wiring:
+    state replicated, batch sharded, n_flags=2) == the identical step run
+    unsharded — VERDICT r1 item 2."""
+    from skeleton_action_recognition_tpu.models import spectrogram
+
+    x = jnp.asarray(
+        np.tile(np.asarray(ntu_examples[:2, :, :30]), (4, 1, 1, 1, 1))
+    )
+    y = jax.nn.one_hot(jnp.arange(8) % 4, 4)
+    model = spectrogram.Model(
+        num_classes=4, num_filters=8, image_size=64, num_pad_frames=4
+    )
+    # SGD, not Adam: Adam's g/sqrt(v) first step is sign-like, so f32
+    # reduction-order noise in near-zero gradients flips whole +-lr
+    # updates; the sharding wiring under test is optimizer-independent
+    tx = optax.sgd(1e-2)
+    state = create_train_state(model, jax.random.key(0), x[:1], tx)
+    step_fn = steps_mod.make_radar_train_step(global_batch_size=8)
+
+    s1, m1 = jax.jit(step_fn)(state, x, y, False, False)
+
+    mesh = parallel.create_mesh(devices=eight_devices)
+    dp = parallel.DataParallel(mesh)
+    s2 = dp.shard_state(create_train_state(model, jax.random.key(0),
+                                           x[:1], tx))
+    xb, yb = dp.shard_batch(np.asarray(x), np.asarray(y))
+    s2, m2 = dp.jit_train_step(step_fn, n_flags=2)(
+        s2, xb, yb, False, False
+    )
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+    )
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(jax.device_get(s2.params))
+    for a, b in zip(l1, l2):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-4
         )
