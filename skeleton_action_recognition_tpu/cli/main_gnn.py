@@ -21,6 +21,7 @@ Run:
 from __future__ import annotations
 
 import argparse
+import itertools
 import os
 import time
 
@@ -146,17 +147,34 @@ def main(argv=None):
     model = model_cls(**model_kwargs)
 
     transform = stream_transform(arg.stream)
+    # Multi-host contract: each process reads a disjoint shard subset and
+    # decodes only its LOCAL slice (global/process_count rows per step);
+    # slices assemble into the global batch via shard_host_batch. Every
+    # process must run the same number of steps per epoch (collectives),
+    # so the per-epoch step count is the all-process minimum.
+    process_count = jax.process_count()
+    local_batch = global_batch // process_count
     train_data = TFRecordDataset(
         arg.train_data_path,
-        batch_size=global_batch,
+        batch_size=local_batch,
         num_classes=arg.num_classes,
         shuffle=True,
         drop_remainder=True,
-        seed=arg.seed,
+        seed=arg.seed + jax.process_index(),
         process_index=jax.process_index(),
-        process_count=jax.process_count(),
+        process_count=process_count,
         transform=transform,
     )
+    if process_count > 1:
+        from jax.experimental import multihost_utils
+
+        steps_per_epoch = int(
+            multihost_utils.process_allgather(
+                np.asarray(len(train_data), np.int64)
+            ).min()
+        )
+    else:
+        steps_per_epoch = len(train_data)
     test_data = TFRecordDataset(
         arg.test_data_path,
         batch_size=global_batch,
@@ -201,10 +219,9 @@ def main(argv=None):
 
     if arg.profile_dir:
         xb, yb = next(iter(train_data.batches()))
+        xs, ys = dp.shard_host_batch(xb, yb)
         with jax.profiler.trace(arg.profile_dir):
-            state, _ = train_step(
-                state, jnp.asarray(xb), jnp.asarray(yb), False
-            )
+            state, _ = train_step(state, xs, ys, False)
         print(f"profiler trace written to {arg.profile_dir}")
 
     train_iter = 0
@@ -218,12 +235,12 @@ def main(argv=None):
         # device pipeline; the per-iteration TB scalars are written with
         # identical values afterwards
         pending = []
-        for xb, yb in train_data.batches():
+        for xb, yb in itertools.islice(
+            train_data.batches(), steps_per_epoch
+        ):
+            xs, ys = dp.shard_host_batch(xb, yb)
             state, m = train_step(
-                state,
-                jnp.asarray(xb),
-                jnp.asarray(yb),
-                epoch > arg.freeze_graph_until,
+                state, xs, ys, epoch > arg.freeze_graph_until
             )
             pending.append(m)
         for m in jax.device_get(pending):
@@ -258,7 +275,9 @@ def main(argv=None):
                     [xb, np.zeros((global_batch - n,) + xb.shape[1:],
                                   xb.dtype)]
                 )
-            probs = np.asarray(eval_step(state, jnp.asarray(xb)))[:n]
+            # every process decodes the full test set in the same order,
+            # so the identical-data global placement is valid multi-host
+            probs = np.asarray(eval_step(state, dp.shard_batch(xb)))[:n]
             labels = yb.argmax(-1)
             preds = probs.argmax(-1)
             top5 = np.argsort(probs, axis=-1)[:, -5:]

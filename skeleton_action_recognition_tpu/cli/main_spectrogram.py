@@ -30,6 +30,7 @@ from skeleton_action_recognition_tpu.data.pipeline import NumpyDataset
 from skeleton_action_recognition_tpu.train import (
     checkpoint as ckpt_lib,
     metrics as metrics_lib,
+    optim as optim_lib,
     schedules,
     steps as steps_lib,
     train_state as ts_lib,
@@ -62,6 +63,14 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lr_cycle", type=int, default=10)
     parser.add_argument("--lambda-train-epoch", type=int, default=1000)
     parser.add_argument("--loc-train-epoch", type=int, default=1000)
+    parser.add_argument(
+        "--lambda-rel-step", type=float, default=1e-2,
+        help="per-step relative change of radar_lambda once unfrozen",
+    )
+    parser.add_argument(
+        "--loc-step", type=float, default=1e-2,
+        help="per-step radar_loc move in meters once unfrozen",
+    )
     # TPU-native extras
     parser.add_argument("--num-pad-frames", type=int, default=250)
     parser.add_argument(
@@ -84,7 +93,10 @@ def main(argv=None):
     global_batch = arg.batch_size * num_replicas
 
     run_params = dict(vars(arg))
-    for k in ("data_path", "label_path", "log_dir", "resume", "seed"):
+    for k in (
+        "data_path", "label_path", "log_dir", "resume", "seed",
+        "lambda_rel_step", "loc_step",
+    ):
         run_params.pop(k, None)
     if arg.lambda_train_epoch > arg.num_epochs:
         run_params.pop("lambda_train_epoch", None)
@@ -126,7 +138,15 @@ def main(argv=None):
     }
 
     lr = schedules.cyclic_triangular(1e-4, arg.base_lr, arg.lr_cycle)
-    tx = optax.adam(lr)
+    # Adam for the backbone; the radar physics params (lambda/loc) get
+    # relative-step normalized updates — their raw gradients overflow
+    # f32 at real wavelengths and Adam's scale invariance would throw
+    # lambda across orders of magnitude (see train/optim.py)
+    tx = optim_lib.make_radar_optimizer(
+        optax.adam(lr),
+        lambda_rel_step=arg.lambda_rel_step,
+        loc_step=arg.loc_step,
+    )
 
     sample, _ = next(iter(datasets["train"].batches()))
     state = ts_lib.create_train_state(

@@ -25,11 +25,16 @@ import os
 import pickle
 import queue
 import threading
+from concurrent import futures
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
 from skeleton_action_recognition_tpu.data import streams, tfrecord
+
+# Decode-pool width: shards decode GIL-free in native code, so size by
+# host cores (capped — decode is memory-bandwidth bound well before 16).
+_DECODE_THREADS = min(16, (os.cpu_count() or 1) * 2)
 
 
 def _one_hot(labels: np.ndarray, num_classes: int) -> np.ndarray:
@@ -99,20 +104,42 @@ class TFRecordDataset:
         self.stream = stream
         self._rng = np.random.default_rng(seed)
         self._cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._count: Optional[int] = None
+        self._shape: Optional[Tuple[int, ...]] = None
+
+    def _sample_shape(self) -> Tuple[int, ...]:
+        """Shape of one sample, from the first record of the first
+        non-empty shard."""
+        if self._shape is None:
+            for payload in tfrecord.TFRecordReader(self.records):
+                f, _ = tfrecord.parse_example(payload)
+                self._shape = tuple(f.shape)
+                break
+            else:
+                raise ValueError("dataset has no records")
+        return self._shape
 
     def _load_all(self) -> Tuple[np.ndarray, np.ndarray]:
         """Decode every record once; skeleton datasets fit host RAM
         (xview train ≈ 5.8 GB f32) and re-decoding per epoch would waste
-        CPU. Larger-than-RAM corpora stream via :meth:`iter_decoded`."""
+        CPU. Shards decode in parallel — the native decoder releases the
+        GIL, so the pool scales across host cores (the tf.data
+        ``num_parallel_reads`` equivalent, ``main_gnn.py:170-180``).
+        Larger-than-RAM corpora stream via ``stream=True`` instead."""
         if self._cache is None:
-            feats, labels = [], []
-            for payload in tfrecord.TFRecordReader(self.records):
-                f, l = tfrecord.parse_example(payload)
-                feats.append(f)
-                labels.append(l)
+            shape = self._sample_shape()
+            with futures.ThreadPoolExecutor(
+                max_workers=min(len(self.records), _DECODE_THREADS)
+            ) as pool:
+                parts = list(
+                    pool.map(
+                        lambda p: tfrecord.decode_shard(p, shape),
+                        self.records,
+                    )
+                )
             self._cache = (
-                np.stack(feats).astype(np.float32),
-                np.asarray(labels, np.int64),
+                np.concatenate([f for f, _ in parts]),
+                np.concatenate([l for _, l in parts]),
             )
         return self._cache
 
@@ -120,9 +147,17 @@ class TFRecordDataset:
         for payload in tfrecord.TFRecordReader(self.records):
             yield tfrecord.parse_example(payload)
 
+    def num_samples(self) -> int:
+        """Total record count — framing walk only, so ``stream=True``
+        callers (and ``len()``) never materialize the corpus."""
+        if self._count is None:
+            self._count = sum(
+                tfrecord.count_records(p) for p in self.records
+            )
+        return self._count
+
     def __len__(self) -> int:
-        data, _ = self._load_all()
-        n = len(data)
+        n = self.num_samples()
         if self.drop_remainder:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -141,11 +176,7 @@ class TFRecordDataset:
         def producer():
             carry_x, carry_y = [], []
             for shard in shards:
-                feats, labels = [], []
-                for payload in tfrecord.TFRecordReader([shard]):
-                    f, l = tfrecord.parse_example(payload)
-                    feats.append(f)
-                    labels.append(l)
+                feats, labels = tfrecord.decode_shard(shard)
                 order = np.arange(len(feats))
                 if self.shuffle:
                     order = self._rng.permutation(order)

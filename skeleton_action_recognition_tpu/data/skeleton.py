@@ -147,6 +147,8 @@ def split_samples(
     ``part``: ``'train'`` or ``'val'``. Returns (names, 0-based labels).
     """
     ignored_set = set(ignored or [])
+    if part not in ("train", "val"):
+        raise ValueError(f"unknown part: {part!r}")
     names, labels = [], []
     for fn in filenames:
         if os.path.basename(fn) in ignored_set:
@@ -159,8 +161,6 @@ def split_samples(
         else:
             raise ValueError(f"unknown benchmark: {benchmark!r}")
         keep = is_training if part == "train" else not is_training
-        if part not in ("train", "val"):
-            raise ValueError(f"unknown part: {part!r}")
         if keep:
             names.append(fn)
             labels.append(action - 1)

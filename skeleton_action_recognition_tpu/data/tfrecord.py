@@ -120,6 +120,60 @@ class TFRecordReader:
                     yield payload
 
 
+def count_records(path) -> int:
+    """Record count of one shard by walking the framing (no crc, no
+    payload decode) — O(records) seeks, never materializes data."""
+    from skeleton_action_recognition_tpu import native
+
+    n = native.count_records(str(path))
+    if n is not None:
+        return n
+    count = 0
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(12)
+            if len(header) < 12:
+                break
+            (length,) = struct.unpack("<Q", header[:8])
+            f.seek(length + 4, os.SEEK_CUR)
+            count += 1
+    return count
+
+
+def decode_shard(path, sample_shape=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode one whole shard -> ``(feats (N, *shape) f32, labels (N,)
+    i64)``.
+
+    Uses the native one-call decoder when built (GIL-free — shards
+    decode in parallel from a thread pool; the tf.data-equivalent of
+    ``num_parallel_reads`` at ``main_gnn.py:170-180``); falls back to
+    the pure-Python proto walker. ``sample_shape=None`` infers the shape
+    from the first record.
+    """
+    from skeleton_action_recognition_tpu import native
+
+    reader = TFRecordReader([str(path)])
+    if sample_shape is None:
+        first = next(iter(reader), None)
+        if first is None:
+            return (
+                np.empty((0,), np.float32),
+                np.empty((0,), np.int64),
+            )
+        sample_shape = parse_example(first)[0].shape
+    n = count_records(path)
+    out = native.decode_tfrecord(str(path), n, tuple(sample_shape))
+    if out is not None:
+        return out
+    feats = np.empty((n,) + tuple(sample_shape), np.float32)
+    labels = np.empty((n,), np.int64)
+    for i, payload in enumerate(reader):
+        f, l = parse_example(payload)
+        feats[i] = f
+        labels[i] = l
+    return feats, labels
+
+
 # --------------------------------------------------------------------------
 # Example-level helpers for the skeleton dataset
 # --------------------------------------------------------------------------

@@ -58,6 +58,17 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_long,
         ctypes.c_long,
     ]
+    lib.sar_count_records.restype = ctypes.c_long
+    lib.sar_count_records.argtypes = [ctypes.c_char_p]
+    lib.sar_decode_tfrecord_file.restype = ctypes.c_long
+    lib.sar_decode_tfrecord_file.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_int,
+    ]
     _lib = lib
     return _lib
 
@@ -89,3 +100,50 @@ def parse_skeleton(
     if n < 0:
         raise ValueError(f".skeleton parse error (code {n})")
     return out[:, :n]
+
+
+def count_records(path: str) -> Optional[int]:
+    """Record count of one TFRecord shard via the framing walk (no crc,
+    no decode); None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = int(lib.sar_count_records(os.fsencode(path)))
+    if n < 0:
+        raise IOError(f"{path}: corrupt TFRecord framing (code {n})")
+    return n
+
+
+def decode_tfrecord(
+    path: str,
+    num_records: int,
+    sample_shape: tuple,
+    check_crc: bool = True,
+) -> Optional[tuple]:
+    """Decode one whole shard -> ``(feats (N, *shape) f32, labels (N,)
+    i64)``; None when the native library is unavailable. The GIL is
+    released for the duration of the call (ctypes), so shards decode in
+    parallel from a Python thread pool.
+
+    Raises on corrupt framing/crc/proto or when any sample's
+    tensor_content does not match ``sample_shape``.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    feat_len = int(np.prod(sample_shape))
+    feats = np.empty((num_records, feat_len), np.float32)
+    labels = np.empty((num_records,), np.int64)
+    n = int(
+        lib.sar_decode_tfrecord_file(
+            os.fsencode(path),
+            feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            num_records,
+            feat_len,
+            1 if check_crc else 0,
+        )
+    )
+    if n < 0:
+        raise IOError(f"{path}: TFRecord decode error (code {n})")
+    return feats[:n].reshape((n,) + tuple(sample_shape)), labels[:n]

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -26,9 +27,35 @@ class DataParallel:
         return jax.device_put(state, self.replicated)
 
     def shard_batch(self, *arrays):
-        """Place host arrays with the batch axis split over the mesh."""
+        """Place host arrays with the batch axis split over the mesh.
+
+        Single-host semantics (or multi-host with *identical* data on
+        every process — e.g. an eval set every host decodes in the same
+        order). For disjoint per-host training data use
+        :meth:`shard_host_batch`.
+        """
         out = tuple(
             jax.device_put(a, self.batch_sharding) for a in arrays
+        )
+        return out if len(out) > 1 else out[0]
+
+    def shard_host_batch(self, *arrays):
+        """Assemble a global batch from per-process **local** slices.
+
+        Each process passes its local batch of ``global_batch /
+        process_count`` rows (its disjoint shard subset — the
+        ``experimental_distribute_dataset`` contract,
+        ``main_gnn.py:295``); rows land on the process's addressable
+        devices, so nothing is decoded and thrown away. The global batch
+        is the device-order concatenation of the per-process slices.
+        """
+        if jax.process_count() == 1:
+            return self.shard_batch(*arrays)
+        out = tuple(
+            jax.make_array_from_process_local_data(
+                self.batch_sharding, np.asarray(a)
+            )
+            for a in arrays
         )
         return out if len(out) > 1 else out[0]
 

@@ -8,6 +8,10 @@ from skeleton_action_recognition_tpu.train.schedules import (
     piecewise_constant,
     reference_gnn_boundaries,
 )
+from skeleton_action_recognition_tpu.train.optim import (
+    make_radar_optimizer,
+    radar_physics_transform,
+)
 from skeleton_action_recognition_tpu.train.train_state import (
     TrainState,
     create_train_state,
@@ -24,7 +28,9 @@ __all__ = [
     "cyclic_triangular",
     "eval_step",
     "make_eval_step",
+    "make_radar_optimizer",
     "make_train_step",
+    "radar_physics_transform",
     "piecewise_constant",
     "reference_gnn_boundaries",
     "softmax_cross_entropy",

@@ -1,0 +1,129 @@
+"""Optimizer partitions for the spectrogram stack.
+
+The reference intends to train the radar wavelength / location with the
+same Adam that trains the ResNet (``main_spectrogram.py:106-111`` +
+the epoch-gated ``requires_grad`` toggles at ``:128-136``). That can
+never work, for two separate reasons:
+
+1. **Scale.** The raw loss gradient w.r.t. ``lambda`` carries a
+   ``4*pi*d/lambda^2 ~ 5e7`` factor per timestep-edge term; summed over
+   the ~3.6M terms of one clip it routinely exceeds f32 range (and
+   Adam's second moment ``g^2`` overflows ~1e19x earlier), so the
+   update is inf/nan.
+2. **Invariance.** Even when finite, Adam is scale-invariant: any
+   nonzero gradient produces a ``+-lr`` step, and the trainer's cyclic
+   lr (1e-4..0.1) would throw a 5e-4-meter wavelength across five
+   orders of magnitude in one step.
+
+So the physics parameters get their own partition:
+:func:`radar_physics_transform` updates them along the (sanitized)
+gradient *direction* with a step proportional to the parameter's own
+magnitude — ``update = -rel_step * max(max|p|, floor) * g / ||g||`` —
+which is finite by construction (inf gradients keep their sign, nan
+terms drop out), can never flip the sign of a scalar like ``lambda``
+when ``floor=0`` (steps are a fixed fraction of ``|p|``), and moves
+``radar_loc`` off its zero initialization via ``floor``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+_F32_BIG = 3e38  # finite stand-in for +-inf gradient entries
+
+
+def _sanitized_direction(g):
+    """Unit-norm gradient direction, robust to inf/nan entries.
+
+    nan terms carry no information and drop to 0; inf terms keep their
+    sign (the common overflow case is a single scalar accumulator that
+    saturated — the direction survives). Returns zero for an all-zero
+    (e.g. frozen/masked) gradient.
+    """
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+    g = jnp.clip(g, -_F32_BIG, _F32_BIG)
+    m = jnp.max(jnp.abs(g))
+    scaled = jnp.where(m > 0, g / jnp.where(m > 0, m, 1.0), 0.0)
+    norm = jnp.sqrt(jnp.sum(scaled * scaled))
+    return jnp.where(
+        norm > 0, scaled / jnp.where(norm > 0, norm, 1.0), 0.0
+    )
+
+
+def radar_physics_transform(
+    rel_step: float = 1e-2, floor: float = 0.0
+) -> optax.GradientTransformation:
+    """Relative-step normalized-gradient updates for physics parameters.
+
+    ``update = -rel_step * max(max|p|, floor) * direction(g)``.
+
+    With ``floor=0`` the step is purely relative, so a positive scalar
+    (``radar_lambda``) decays/grows geometrically and never crosses
+    zero; parameters initialized at zero (``radar_loc``) need a nonzero
+    ``floor`` to receive their first step.
+    """
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError(
+                "radar_physics_transform requires params "
+                "(use optax.apply_updates pipeline that passes them)"
+            )
+
+        def u(g, p):
+            scale = rel_step * jnp.maximum(
+                jnp.max(jnp.abs(p)), floor
+            )
+            return (-scale * _sanitized_direction(g)).astype(p.dtype)
+
+        return jax.tree.map(u, grads, params), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def _path_label(path) -> str:
+    for p in path:
+        key = str(getattr(p, "key", getattr(p, "name", "")))
+        if "radar_lambda" in key:
+            return "radar_lambda"
+        if "radar_loc" in key:
+            return "radar_loc"
+    return "backbone"
+
+
+def radar_param_labels(params):
+    """Label pytree routing physics params to their own transform."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _path_label(path), params
+    )
+
+
+def make_radar_optimizer(
+    backbone_tx: optax.GradientTransformation,
+    lambda_rel_step: float = 1e-2,
+    loc_step: float = 1e-2,
+) -> optax.GradientTransformation:
+    """The spectrogram trainer's optimizer: Adam (or any ``backbone_tx``)
+    for the network, relative-step normalized updates for the radar
+    physics parameters (see module docstring for why Adam cannot train
+    them). ``loc_step`` is in meters: radar_loc starts at the origin, so
+    its step is ``loc_step * max(|loc|, 1 m)`` — a fixed ``loc_step``
+    meters at first, relative once the radar moves beyond 1 m."""
+    return optax.multi_transform(
+        {
+            "backbone": backbone_tx,
+            "radar_lambda": radar_physics_transform(
+                rel_step=lambda_rel_step, floor=0.0
+            ),
+            "radar_loc": radar_physics_transform(
+                rel_step=loc_step, floor=1.0
+            ),
+        },
+        radar_param_labels,
+    )

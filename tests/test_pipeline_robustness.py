@@ -59,6 +59,75 @@ def test_shuffle_is_seeded_and_covers_all(tmp_path):
     assert sorted(labels1) == list(range(6))  # full coverage
 
 
+def test_stream_len_never_materializes(tmp_path):
+    """``stream=True`` + ``len()`` must count via the framing walk, not
+    decode the corpus into RAM (VERDICT r1 item 6)."""
+    d = tmp_path / "ds"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=(11, 3, 4, 25, 2)).astype(np.float32)
+    tfrecord.write_dataset(
+        data, np.arange(11), str(d), "t", num_shards=3
+    )
+    ds = TFRecordDataset(
+        str(d), batch_size=4, num_classes=11, stream=True
+    )
+    assert len(ds) == 3
+    assert ds.num_samples() == 11
+    assert ds._cache is None  # nothing decoded
+    dr = TFRecordDataset(
+        str(d), batch_size=4, num_classes=11, stream=True,
+        drop_remainder=True,
+    )
+    assert len(dr) == 2
+    assert dr._cache is None
+
+
+def test_count_records_matches_python_and_native(tmp_path):
+    path = tmp_path / "x.tfrecord"
+    _write_records(path, n=9)
+    assert tfrecord.count_records(str(path)) == 9
+    from skeleton_action_recognition_tpu import native
+
+    if native.load() is not None:
+        assert native.count_records(str(path)) == 9
+
+
+def test_native_shard_decode_matches_python(tmp_path):
+    """The one-call native decoder must be byte-identical to the Python
+    proto walker (and both to the written data)."""
+    path = tmp_path / "x.tfrecord"
+    data = _write_records(path, n=6)
+    feats, labels = tfrecord.decode_shard(str(path))
+    np.testing.assert_array_equal(feats, data)
+    np.testing.assert_array_equal(labels, np.arange(6))
+    # python fallback path produces the same thing
+    ref = [
+        tfrecord.parse_example(p)
+        for p in tfrecord.TFRecordReader(str(path))
+    ]
+    np.testing.assert_array_equal(np.stack([f for f, _ in ref]), feats)
+
+
+def test_native_decode_rejects_corruption(tmp_path):
+    from skeleton_action_recognition_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native library not built")
+    path = tmp_path / "x.tfrecord"
+    _write_records(path)
+    raw = bytearray(path.read_bytes())
+    raw[40] ^= 0xFF
+    path.write_bytes(bytes(raw))
+    with pytest.raises(IOError, match="code -3"):
+        native.decode_tfrecord(str(path), 6, (3, 4, 25, 2))
+    # wrong expected shape -> -5
+    good = tmp_path / "y.tfrecord"
+    _write_records(good)
+    with pytest.raises(IOError, match="code -5"):
+        native.decode_tfrecord(str(good), 6, (3, 5, 25, 2))
+
+
 def test_empty_directory_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         TFRecordDataset(str(tmp_path), batch_size=2)

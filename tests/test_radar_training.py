@@ -71,6 +71,41 @@ def test_radar_training_decreases_loss(radar_state):
     assert np.isfinite(losses).all()
 
 
+def test_radar_params_train_at_real_wavelength(ntu_examples):
+    """Unfreeze lambda/loc at step 0 and run 10 steps at the real
+    wavelength (5e-4 m): params and optimizer state stay finite and
+    lambda actually moves (VERDICT r1 item 4 — the raw gradients
+    overflow f32 here; the physics-param optimizer partition must
+    absorb that)."""
+    from skeleton_action_recognition_tpu.train import optim as optim_lib
+
+    x = jnp.asarray(ntu_examples[:2, :, :30])
+    y = jax.nn.one_hot(jnp.asarray([0, 1]), 4)
+    model = spectrogram.Model(
+        num_classes=4, num_filters=8, image_size=64, num_pad_frames=4
+    )
+    tx = optim_lib.make_radar_optimizer(optax.adam(1e-3))
+    state = create_train_state(model, jax.random.key(0), x, tx)
+    lam0 = float(state.params["virtual_radar"]["radar_lambda"])
+    assert lam0 == pytest.approx(5e-4)
+
+    step = jax.jit(steps_lib.make_radar_train_step(2))
+    for _ in range(10):
+        state, m = step(state, x, y, True, True)
+
+    lam = float(state.params["virtual_radar"]["radar_lambda"])
+    loc = np.asarray(state.params["virtual_radar"]["radar_loc"])
+    assert np.isfinite(lam) and np.isfinite(loc).all()
+    assert lam != lam0 and lam > 0
+    # relative stepping: lambda stayed within (1 +- rel_step)^10
+    assert lam0 * 0.9 < lam < lam0 * 1.11
+    for leaf in jax.tree_util.tree_leaves(
+        (state.params, state.opt_state)
+    ):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_freeze_mask_kills_nonfinite_gradients():
     """Frozen params must stay clean even when their raw gradients
     overflow (the radar 4*pi/lambda^2 sums overflow f32 at real scale;
