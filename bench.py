@@ -40,6 +40,32 @@ BATCH = 128
 T = 300
 STEPS = 6
 
+# bf16 matmul peak by device kind (TFLOP/s), for the MFU line
+PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+}
+
+
+def _step_flops(step, state, x, y):
+    """XLA's own FLOP count for one jitted train step (analytical; the
+    compiler counts matmul/conv MACs x2 plus elementwise)."""
+    try:
+        compiled = (
+            jax.jit(step, static_argnums=(3,))
+            .lower(state, x, y, False)
+            .compile()
+        )
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
 
 def main():
     from skeleton_action_recognition_tpu.models import stgcn
@@ -88,18 +114,23 @@ def main():
     per_step = (dn - d1) / (STEPS - 1)
 
     clips_per_sec = BATCH / per_step
-    print(
-        json.dumps(
-            {
-                "metric": "stgcn_train_clips_per_sec_per_chip",
-                "value": round(clips_per_sec, 2),
-                "unit": "clips/s",
-                "vs_baseline": round(
-                    clips_per_sec / REFERENCE_CPU_CLIPS_PER_SEC, 2
-                ),
-            }
-        )
-    )
+
+    # MFU: XLA-counted FLOPs per step / wall time / device bf16 peak
+    out = {
+        "metric": "stgcn_train_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(
+            clips_per_sec / REFERENCE_CPU_CLIPS_PER_SEC, 2
+        ),
+    }
+    flops = _step_flops(step, state, x, y)
+    peak = PEAK_TFLOPS.get(jax.devices()[0].device_kind)
+    if flops and peak:
+        achieved = flops / per_step / 1e12
+        out["tflops_per_sec"] = round(achieved, 2)
+        out["mfu"] = round(achieved / peak, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -59,10 +59,12 @@ def get_parser():
 
 
 def stream_scores(
-    model, ckpt_dir, dataset, sample
+    model, ckpt_dir, dataset, sample, mesh=None
 ) -> np.ndarray:
     """Restore a checkpointed model and return its softmax scores over the
-    dataset (iteration order is deterministic: shuffle off)."""
+    dataset (iteration order is deterministic: shuffle off). With a mesh,
+    scoring runs batch-sharded over its ``data`` axis (partial batches
+    zero-padded to a device-divisible shape, padding sliced back off)."""
     state = create_train_state(
         model, jax.random.key(0), jnp.asarray(sample), optax.sgd(0.1)
     )
@@ -74,10 +76,25 @@ def stream_scores(
         raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
     state = state.replace(params=params, batch_stats=batch_stats)
     manager.close()
-    eval_step = jax.jit(make_eval_step())
+    if mesh is None:
+        eval_step = jax.jit(make_eval_step())
+        ndev = 1
+    else:
+        from skeleton_action_recognition_tpu.parallel import DataParallel
+
+        dp = DataParallel(mesh)
+        state = dp.shard_state(state)
+        eval_step = dp.jit_eval_step(make_eval_step())
+        ndev = mesh.devices.size
     out = []
     for xb, _ in dataset.batches():
-        out.append(np.asarray(eval_step(state, jnp.asarray(xb))))
+        n = len(xb)
+        if n % ndev:
+            pad = -(-n // ndev) * ndev - n
+            xb = np.concatenate(
+                [xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)]
+            )
+        out.append(np.asarray(eval_step(state, jnp.asarray(xb)))[:n])
     return np.concatenate(out)
 
 
@@ -91,6 +108,12 @@ def main(argv=None):
         raise ValueError(
             "--streams, --checkpoints, --weights must have equal length"
         )
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from skeleton_action_recognition_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
 
     labels = None
     combined = None
@@ -128,7 +151,7 @@ def main(argv=None):
         sample = (
             transform(data[:1]) if transform is not None else data[:1]
         )
-        scores = stream_scores(model, ckpt, dataset, sample)
+        scores = stream_scores(model, ckpt, dataset, sample, mesh=mesh)
         acc = float((scores.argmax(-1) == labels).mean())
         report[f"{stream}_top1"] = round(acc, 4)
         print(f"{stream}: top1 {acc:.4f} (weight {weight})")

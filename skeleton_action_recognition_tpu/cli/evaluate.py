@@ -58,6 +58,19 @@ def main(argv=None):
     ).Model
     model = model_cls(num_classes=arg.num_classes)
 
+    # Evaluation is batch-sharded over all chips (the reference evaluates
+    # replicated inside MirroredStrategy, ``main_gnn.py:381-410``; here any
+    # checkpoint evaluates data-parallel). Partial/indivisible batches are
+    # zero-padded to one compiled shape and the padding sliced back off.
+    ndev = len(jax.devices())
+    mesh = None
+    if ndev > 1:
+        from skeleton_action_recognition_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
+        if arg.batch_size % ndev:
+            arg.batch_size = -(-arg.batch_size // ndev) * ndev
+
     dataset = TFRecordDataset(
         arg.test_data_path,
         batch_size=arg.batch_size,
@@ -80,25 +93,44 @@ def main(argv=None):
 
     if arg.predictor == "stock":
         variables = {"params": params, "batch_stats": batch_stats}
-        fwd = jax.jit(
-            lambda x: model.apply(variables, x, train=False)
-        )
+        if mesh is None:
+            fwd = jax.jit(
+                lambda x: model.apply(variables, x, train=False)
+            )
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            shard = NamedSharding(mesh, P("data"))
+            apply = jax.jit(
+                lambda v, x: model.apply(v, x, train=False),
+                in_shardings=(rep, shard),
+                out_shardings=shard,
+            )
+            variables = jax.device_put(variables, rep)
+            fwd = lambda x: apply(variables, x)  # noqa: E731
     elif arg.predictor == "folded":
         from skeleton_action_recognition_tpu.models.export import (
             fused_stgcn_predictor,
         )
 
-        fwd = fused_stgcn_predictor(params, batch_stats)
+        fwd = fused_stgcn_predictor(params, batch_stats, mesh=mesh)
     else:
         from skeleton_action_recognition_tpu.models.export import (
             quantized_stgcn_predictor,
         )
 
-        fwd = quantized_stgcn_predictor(params, batch_stats)
+        fwd = quantized_stgcn_predictor(params, batch_stats, mesh=mesh)
 
     correct = top5 = total = 0
     for xb, yb in dataset.batches():
-        logits = np.asarray(fwd(jnp.asarray(xb)))
+        n = len(xb)
+        if mesh is not None and n % ndev:
+            pad = -(-n // ndev) * ndev - n
+            xb = np.concatenate(
+                [xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)]
+            )
+        logits = np.asarray(fwd(jnp.asarray(xb)))[:n]
         labels = yb.argmax(-1)
         preds = logits.argmax(-1)
         correct += int((preds == labels).sum())

@@ -196,18 +196,39 @@ class FusedSTGCNPredictor:
         return self.forward(self.weights, self.head, x)
 
 
-def fused_stgcn_predictor(
-    params, batch_stats, dtype=jnp.bfloat16, jit: bool = True
-):
-    pred = FusedSTGCNPredictor(params, batch_stats, dtype)
-    if not jit:
-        return pred.__call__
-    fwd = jax.jit(pred.forward)  # weights as arguments, not constants
+def _jit_predictor(pred, mesh=None, axis: str = "data"):
+    """Jit a predictor's ``forward`` with weights passed as arguments
+    (not inlined constants). With a mesh, weights are replicated and the
+    batch axis of input/output is sharded over ``axis`` — multi-chip
+    data-parallel serving (the batch must divide the axis size; callers
+    pad partial batches)."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P(axis))
+        fwd = jax.jit(
+            pred.forward,
+            in_shardings=(rep, rep, shard),
+            out_shardings=shard,
+        )
+    else:
+        fwd = jax.jit(pred.forward)
 
     def run(x):
         return fwd(pred.weights, pred.head, x)
 
     return run
+
+
+def fused_stgcn_predictor(
+    params, batch_stats, dtype=jnp.bfloat16, jit: bool = True,
+    mesh=None, axis: str = "data",
+):
+    pred = FusedSTGCNPredictor(params, batch_stats, dtype)
+    if not jit and mesh is None:
+        return pred.__call__
+    return _jit_predictor(pred, mesh=mesh, axis=axis)
 
 
 # ---------------------------------------------------------------------------
@@ -282,13 +303,10 @@ class QuantizedSTGCNPredictor(FusedSTGCNPredictor):
         return pooled @ head[0] + head[1]
 
 
-def quantized_stgcn_predictor(params, batch_stats, jit: bool = True):
+def quantized_stgcn_predictor(
+    params, batch_stats, jit: bool = True, mesh=None, axis: str = "data"
+):
     pred = QuantizedSTGCNPredictor(params, batch_stats)
-    if not jit:
+    if not jit and mesh is None:
         return pred.__call__
-    fwd = jax.jit(pred.forward)
-
-    def run(x):
-        return fwd(pred.weights, pred.head, x)
-
-    return run
+    return _jit_predictor(pred, mesh=mesh, axis=axis)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,6 +59,128 @@ class TemporalConv(nn.Module):
         return x
 
 
+class _BNParams(nn.Module):
+    """Parameter/stat holder matching ``nn.BatchNorm``'s variable tree
+    (so the fused kernel path shares checkpoints with the stock path)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        return scale, bias, mean, var
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder matching ``nn.Conv``'s variable tree."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", CONV_INIT,
+            (self.kernel_size, 1, in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+class FusedTemporalConv(nn.Module):
+    """``TemporalConv`` with the training-mode hot chain executed by the
+    fused Pallas kernel (:func:`..ops.pallas.tconv.affine_relu_tconv`):
+    BN1's normalize (as a folded per-channel affine), the ReLU, the 9-tap
+    temporal conv, and BN2's batch statistics run in one VMEM pass — the
+    normalized/ReLU'd intermediate never exists in HBM and the conv
+    output is read back only once (for BN2's normalize + the residual
+    join). Variable tree is identical to :class:`TemporalConv`, so
+    checkpoints are interchangeable; parity (output AND both BatchNorms'
+    statistics) is pinned in ``tests/test_pallas_tconv.py``.
+
+    Stride-1 only — the two stride-2 blocks keep the stock XLA path.
+    """
+
+    filters: int
+    kernel_size: int = 9
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        from skeleton_action_recognition_tpu.ops.pallas.tconv import (
+            affine_relu_tconv,
+        )
+
+        c_in = x.shape[-1]
+        g1, b1, m1, v1 = _BNParams(c_in, name="BatchNorm_0")()
+        kernel, cbias = _ConvParams(
+            self.filters, self.kernel_size, name="Conv_0"
+        )(c_in)
+        g2, b2, m2, v2 = _BNParams(self.filters, name="BatchNorm_1")()
+
+        v_joints = x.shape[2]
+        eps = self.epsilon
+        cd = self.dtype or x.dtype
+
+        if not train:
+            scale1 = g1 * jax.lax.rsqrt(v1.value + eps)
+            shift1 = b1 - m1.value * scale1
+            h = jnp.maximum(
+                x.astype(jnp.float32) * scale1 + shift1, 0.0
+            ).astype(cd)
+            u = jax.lax.conv_general_dilated(
+                h, kernel.astype(cd), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ) + cbias
+            scale2 = g2 * jax.lax.rsqrt(v2.value + eps)
+            return u * scale2 + (b2 - m2.value * scale2)
+
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.mean(xf * xf, axis=(0, 1, 2)) - mu * mu
+        scale1 = g1 * jax.lax.rsqrt(var + eps)
+        shift1 = b1 - mu * scale1
+
+        u, s2, ss2 = affine_relu_tconv(
+            x.astype(cd), scale1, shift1, kernel, cbias,
+            v_joints, self.kernel_size,
+        )
+        n = u.size // u.shape[-1]
+        mu2 = s2 / n
+        var2 = ss2 / n - mu2 * mu2
+
+        if not self.is_initializing():
+            mom = self.momentum
+            m1.value = mom * m1.value + (1 - mom) * mu
+            v1.value = mom * v1.value + (1 - mom) * var
+            m2.value = mom * m2.value + (1 - mom) * mu2
+            v2.value = mom * v2.value + (1 - mom) * var2
+
+        scale2 = g2 * jax.lax.rsqrt(var2 + eps)
+        return u.astype(jnp.float32) * scale2 + (
+            b2 - mu2 * scale2
+        )
+
+
 class STConvBlock(nn.Module):
     """One spatio-temporal block: spatial conv + temporal conv + residual.
 
@@ -66,7 +189,8 @@ class STConvBlock(nn.Module):
     files differ only in that one line (``stgcn.py:24`` vs ``stgin.py:24``).
     Residual selection follows ``stgcn.py:41-56``: identity when channels
     and stride match, 1x1 strided conv + BN otherwise, absent for the first
-    block.
+    block. ``fused_tconv`` routes stride-1 temporal convs through the
+    fused Pallas training kernel (:class:`FusedTemporalConv`).
     """
 
     filters: int
@@ -74,6 +198,7 @@ class STConvBlock(nn.Module):
     residual: bool = True
     sgcn_factory: Optional[Callable[[int], nn.Module]] = None
     dtype: Optional[Any] = None
+    fused_tconv: bool = False
 
     @nn.compact
     def __call__(self, x, a, train: bool):
@@ -97,10 +222,15 @@ class STConvBlock(nn.Module):
             lambda f: GraphConvTD(f, dtype=self.dtype, name="sgcn")
         )
         x, a = factory(self.filters)(x, a, train)
-        x = TemporalConv(
-            self.filters, stride=self.stride, dtype=self.dtype,
-            name="tgcn",
-        )(x, train)
+        if self.fused_tconv and self.stride == 1:
+            x = FusedTemporalConv(
+                self.filters, dtype=self.dtype, name="tgcn"
+            )(x, train)
+        else:
+            x = TemporalConv(
+                self.filters, stride=self.stride, dtype=self.dtype,
+                name="tgcn",
+            )(x, train)
         x = nn.relu(x + res)
         return x, a
 
@@ -150,6 +280,7 @@ class STGCNBackbone(nn.Module):
     # 'full' recomputes whole blocks in backward; 'dots' saves matmul/conv
     # outputs and recomputes only the cheap (HBM-bound) elementwise chains
     remat_policy: str = "full"
+    fused_tconv: bool = False
 
     @nn.compact
     def __call__(self, x, a, train: bool):
@@ -159,8 +290,6 @@ class STGCNBackbone(nn.Module):
         if not self.remat:
             block_cls = STConvBlock
         elif self.remat_policy == "dots":
-            import jax
-
             block_cls = nn.remat(
                 STConvBlock,
                 static_argnums=(3,),
@@ -175,6 +304,7 @@ class STGCNBackbone(nn.Module):
                 residual=residual,
                 sgcn_factory=self.sgcn_factory,
                 dtype=self.dtype,
+                fused_tconv=self.fused_tconv,
                 name=f"block_{i}",
             )(x, a, train)
             if i == self.extra_block_index and self.extra_block_factory:
@@ -199,6 +329,7 @@ class Model(nn.Module):
     dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for MXU-rate compute
     remat: bool = True  # rematerialize blocks (trade FLOPs for HBM)
     remat_policy: str = "full"  # or 'dots' (save matmuls, redo elementwise)
+    fused_tconv: bool = False  # fused Pallas temporal chain in training
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -214,5 +345,6 @@ class Model(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             remat_policy=self.remat_policy,
+            fused_tconv=self.fused_tconv,
             name="backbone",
         )(x, a, train)

@@ -36,21 +36,28 @@ class Predictor:
     ):
         self.model = model
         self.max_batch = max_batch
+        if mesh is not None:
+            n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if max_batch % n:
+                raise ValueError(
+                    f"max_batch {max_batch} must divide the mesh's "
+                    f"{n} devices"
+                )
         variables = {"params": params, "batch_stats": batch_stats}
 
         if fused:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "fused predictor does not support mesh sharding yet"
-                )
             from skeleton_action_recognition_tpu.models.export import (
                 fused_stgcn_predictor,
             )
 
             # already jitted with the ~700 MB folded-weight pytree passed
             # as arguments — re-jitting here would inline it as program
-            # constants and blow the compiler's input limits
-            fwd = fused_stgcn_predictor(params, batch_stats, jit=True)
+            # constants and blow the compiler's input limits. With a mesh
+            # the folded weights are replicated and the batch sharded over
+            # ``axis`` (max_batch padding keeps the shape divisible).
+            fwd = fused_stgcn_predictor(
+                params, batch_stats, jit=True, mesh=mesh, axis=axis
+            )
 
             def forward(x):
                 return jax.nn.softmax(fwd(x), axis=-1)
