@@ -84,7 +84,14 @@ def main():
 
     # measured fastest config on v5e (remat off fits HBM at this batch
     # with the conv-first contraction): 375 clips/s vs 343 remat / 245 prior
-    model = stgcn.Model(num_classes=60, dtype=jnp.bfloat16, remat=False)
+    # fused Pallas tconv measured 275 vs 366 clips/s stock at this shape
+    # (VP-padding + fine grid overhead outweigh the pass savings so far)
+    # — stock stays the default until the kernel wins end-to-end
+    fused = os.environ.get("BENCH_FUSED_TCONV", "0") != "0"
+    model = stgcn.Model(
+        num_classes=60, dtype=jnp.bfloat16, remat=False,
+        fused_tconv=fused,
+    )
     tx = optax.sgd(0.1, momentum=0.9, nesterov=True)
     state = create_train_state(model, jax.random.key(0), x[:1], tx)
     step = make_train_step(global_batch_size=BATCH)

@@ -108,6 +108,12 @@ def get_parser() -> argparse.ArgumentParser:
         "--dtype", default="float32", choices=["float32", "bfloat16"],
         help="compute dtype for matmul-heavy layers (params stay f32)",
     )
+    parser.add_argument(
+        "--fused-tconv", action="store_true",
+        help="run stride-1 temporal convs through the fused Pallas "
+        "training kernel (BN+ReLU+conv+stats in one VMEM pass); "
+        "checkpoints stay interchangeable with the stock path",
+    )
     return parser
 
 
@@ -144,6 +150,8 @@ def main(argv=None):
         model_kwargs["dtype"] = jnp.bfloat16
     if arg.trainable_adjacency and "trainable_adjacency" in fields:
         model_kwargs["trainable_adjacency"] = True
+    if arg.fused_tconv and "fused_tconv" in fields:
+        model_kwargs["fused_tconv"] = True
     model = model_cls(**model_kwargs)
 
     transform = stream_transform(arg.stream)

@@ -14,24 +14,30 @@ normalize, folded by the caller into per-channel ``scale``/``shift``),
 the ReLU, the 9-tap temporal conv, and the second BatchNorm's statistics
 all happen in VMEM; only ``u`` returns to HBM.
 
-Two layout tricks:
+Three layout decisions, each forced by a Mosaic constraint observed on
+v5e:
 
-* with activations flattened to ``(NM, T*V, C)`` rows, a temporal shift
-  of ``dt`` frames is a row shift of ``dt*V`` — so the 9-tap conv is ONE
-  MXU matmul against the tap-concatenated weight ``W_all (C, 9*C)``
-  followed by 9 statically-shifted VPU adds, instead of 9 skinny
-  matmuls;
-* the 4-frame halo each tile needs arrives as two extra *blocked* input
-  streams of the same array (small halo-sized blocks whose index maps
-  clamp at the sequence edges), so the Pallas pipeline double-buffers
-  everything and no manual DMA alignment constraints apply. Clamped
-  edge halos are zeroed in-kernel (SAME padding).
+* activations are flattened to ``(NM, T*VP, C)`` rows with the joint
+  axis zero-padded from ``V`` to ``VP = roundup8(V)``: a temporal shift
+  of ``dt`` frames is then a row shift of ``dt*VP`` — a *sublane-aligned*
+  offset (dynamic/static row offsets must be provably 8-aligned) — so
+  the 9-tap conv is ONE wide MXU matmul against the tap-concatenated
+  weight ``W_all (C, 9*C)`` plus 9 statically-shifted VPU adds;
+* each tile's 4-frame halo arrives as two extra small *blocked* input
+  streams of the same array whose index maps clamp at the sequence
+  edges (block second-minor dims must be 8-divisible or full-size —
+  satisfied by the VP padding; edge-clamped halos are masked in-kernel
+  post-affine, because ``relu(0*scale+shift) != 0``);
+* tile sizes keep every in-kernel value under a few MB — the Mosaic
+  stack allocator does not free values across unrolled loop iterations,
+  and the v5e scoped-vmem limit is 16 MB.
 
-Backward is a second hand-derived kernel (same tiling): it recomputes
-``h = relu(affine(s))`` from ``s``, folds the statistics cotangents into
-``g_u_eff = g_u + g_sum2 + 2*u*g_sumsq2``, computes ``g_s`` via the
-transposed-tap matmul, and accumulates ``dW/dbias/dscale/dshift`` in
-f32 accumulators across the sequential TPU grid.
+Backward is a second hand-derived kernel (same tiling): the XLA caller
+folds the statistics cotangents into ``g_u_eff = g_u + g_sum2 +
+2*u*g_sumsq2`` (one fused elementwise pass), the kernel recomputes
+``h = relu(affine(s))`` from ``s``, produces ``g_s`` via the
+transposed-tap matmul, and accumulates ``dW/dbias/dscale/dshift`` in f32
+across the (sequential) TPU grid.
 
 Used by :class:`..models.stgcn.FusedTemporalConv` (stride-1 blocks; the
 two stride-2 blocks keep the stock XLA path). Parity with the unfused
@@ -49,24 +55,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_t_tile(t: int, c: int, ks: int, v: int) -> int:
-    """Largest divisor of ``t`` that has a sub-divisor >= the halo (so
-    halo blocks exist) and keeps the f32 tap-product buffer
-    ``(t_tile + 2*hb) * v x ks * c`` under ~6 MB of VMEM."""
-    budget = 6 * 1024 * 1024
-    halo = ks // 2
-    best = None
-    for cand in range(1, t + 1):
-        if t % cand:
-            continue
-        hb = _halo_block(cand, halo)
-        if hb is None:
-            continue
-        if (cand + 2 * hb) * v * ks * c * 4 <= budget:
-            best = cand
-    if best is None:
-        raise ValueError(f"no usable t_tile for t={t}, c={c}")
-    return best
+def _roundup8(v: int) -> int:
+    return -(-v // 8) * 8
 
 
 def _halo_block(t_tile: int, halo: int):
@@ -77,147 +67,163 @@ def _halo_block(t_tile: int, halo: int):
     return None
 
 
-def _assemble_ext(lo_ref, cur_ref, hi_ref, i, nt, *, hb, halo, v, c):
-    """Concatenate [last ``halo`` frames of lo | core | first ``halo``
-    frames of hi]; returns the tile and a ``(rows, 1)`` validity mask
-    that is 0 on edge-clamped halo rows (the conv's SAME zero padding —
-    it must be applied POST-affine, since ``relu(0*scale+shift) != 0``)."""
-    x = jnp.concatenate(
+def _pick_t_tile(t: int, c: int, ks: int, vp: int) -> int:
+    """Largest divisor of ``t`` with a valid halo sub-block that keeps
+    the f32 tap-product value ``(t_tile + ks - 1) * vp x ks * c`` under
+    ~4 MB of VMEM."""
+    budget = 4 * 1024 * 1024
+    best = None
+    for cand in range(1, t + 1):
+        if t % cand:
+            continue
+        if _halo_block(cand, ks // 2) is None:
+            continue
+        if (cand + ks - 1) * vp * ks * c * 4 <= budget:
+            best = cand
+    if best is None:
+        raise ValueError(f"no usable t_tile for t={t}, c={c}")
+    return best
+
+
+def _halo_specs(t_tile: int, hb: int, vp: int, c: int, nt: int):
+    """(lo, cur, hi) BlockSpecs over a ``(NM, T*VP, C)`` array: the core
+    tile plus two ``hb``-frame halo streams with edge-clamped indices."""
+    rb = t_tile // hb
+
+    lo = pl.BlockSpec(
+        (1, hb * vp, c),
+        lambda n, i: (n, jnp.maximum(i * rb - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    cur = pl.BlockSpec(
+        (1, t_tile * vp, c), lambda n, i: (n, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    hi = pl.BlockSpec(
+        (1, hb * vp, c),
+        lambda n, i: (n, jnp.minimum(i * rb + rb, nt * rb - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    return lo, cur, hi
+
+
+def _vec_spec(c: int):
+    return pl.BlockSpec(
+        (1, c), lambda n, i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _edge_valid(rows: int, halo_rows: int, core_rows: int, i, nt):
+    """(rows, 1) f32 mask, 0 on the halo rows of edge-clamped tiles
+    (the conv's SAME zero padding)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    invalid = ((r < halo_rows) & (i == 0)) | (
+        (r >= halo_rows + core_rows) & (i == nt - 1)
+    )
+    return jnp.where(invalid, 0.0, 1.0).astype(jnp.float32)
+
+
+def _assemble(lo_ref, cur_ref, hi_ref, hb: int, halo: int, vp: int):
+    """[last ``halo`` frames of lo | core | first ``halo`` of hi]."""
+    return jnp.concatenate(
         [
-            lo_ref[0][(hb - halo) * v :, :],
+            lo_ref[0][(hb - halo) * vp :, :],
             cur_ref[0],
-            hi_ref[0][: halo * v, :],
+            hi_ref[0][: halo * vp, :],
         ],
         axis=0,
     )
-    rows = x.shape[0]
-    core_rows = rows - 2 * halo * v
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    invalid = ((r < halo * v) & (i == 0)) | (
-        (r >= halo * v + core_rows) & (i == nt - 1)
-    )
-    return x, jnp.where(invalid, 0.0, 1.0).astype(jnp.float32)
 
 
 def _fwd_kernel(
     s_lo, s_cur, s_hi, scale_ref, shift_ref, wall_ref, b_ref,
     u_ref, sum_ref, sumsq_ref,
-    *, t_tile: int, hb: int, v: int, ks: int, out_dtype,
+    *, t_tile: int, hb: int, v: int, vp: int, ks: int, out_dtype,
 ):
     n, i = pl.program_id(0), pl.program_id(1)
     nt = pl.num_programs(1)
     c = scale_ref.shape[-1]
     halo = ks // 2
-    core_rows = t_tile * v
+    halo_rows = halo * vp
+    core_rows = t_tile * vp
 
-    x, valid = _assemble_ext(
-        s_lo, s_cur, s_hi, i, nt, hb=hb, halo=halo, v=v, c=c
-    )
+    x = _assemble(s_lo, s_cur, s_hi, hb, halo, vp).astype(jnp.float32)
+    valid = _edge_valid(x.shape[0], halo_rows, core_rows, i, nt)
     h = (
-        jnp.maximum(
-            x.astype(jnp.float32) * scale_ref[0] + shift_ref[0], 0.0
-        )
-        * valid
-    )
+        jnp.maximum(x * scale_ref[0] + shift_ref[0], 0.0) * valid
+    ).astype(wall_ref.dtype)
     # one wide MXU matmul: p[r, dt*C+co] = h[r] @ W[dt]
-    p = jnp.dot(
-        h.astype(wall_ref.dtype), wall_ref[:],
-        preferred_element_type=jnp.float32,
-    )
+    p = jnp.dot(h, wall_ref[:], preferred_element_type=jnp.float32)
     u = jnp.broadcast_to(
         b_ref[0].astype(jnp.float32), (core_rows, c)
     )
     for dt in range(ks):
-        u = u + p[dt * v : dt * v + core_rows, dt * c : (dt + 1) * c]
+        u = u + p[dt * vp : dt * vp + core_rows,
+                  dt * c : (dt + 1) * c]
     u16 = u.astype(out_dtype)
     u_ref[0] = u16
 
-    uf = u16.astype(jnp.float32)
-    part_sum = jnp.sum(uf, axis=0, keepdims=True)
-    part_sq = jnp.sum(uf * uf, axis=0, keepdims=True)
+    # stats exclude the zero-padded joints (their u rows equal the conv
+    # bias, not data)
+    jmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (core_rows, 1), 0) % vp
+        < v
+    ).astype(jnp.float32)
+    uf = u16.astype(jnp.float32) * jmask
 
     @pl.when((n == 0) & (i == 0))
     def _():
         sum_ref[:] = jnp.zeros_like(sum_ref)
         sumsq_ref[:] = jnp.zeros_like(sumsq_ref)
 
-    sum_ref[:] = sum_ref[:] + part_sum
-    sumsq_ref[:] = sumsq_ref[:] + part_sq
+    sum_ref[:] = sum_ref[:] + jnp.sum(uf, axis=0, keepdims=True)
+    sumsq_ref[:] = sumsq_ref[:] + jnp.sum(
+        uf * uf, axis=0, keepdims=True
+    )
 
 
 def _bwd_kernel(
-    s_lo, s_cur, s_hi, u_lo, u_cur, u_hi, gu_lo, gu_cur, gu_hi,
-    scale_ref, shift_ref, wtall_ref, gsum_ref, gsumsq_ref,
+    s_lo, s_cur, s_hi, gue_lo, gue_cur, gue_hi,
+    scale_ref, shift_ref, wtall_ref,
     gs_ref, dwall_ref, dscale_ref, dshift_ref, dbias_ref,
-    *, t_tile: int, hb: int, v: int, ks: int,
+    *, t_tile: int, hb: int, v: int, vp: int, ks: int,
 ):
+    """``gue`` is the effective conv-output gradient (stats cotangents
+    folded in, joint-pad rows zeroed, by the XLA caller)."""
     n, i = pl.program_id(0), pl.program_id(1)
     nt = pl.num_programs(1)
     c = scale_ref.shape[-1]
     halo = ks // 2
-    core_rows = t_tile * v
-    halo_rows = halo * v
+    halo_rows = halo * vp
+    core_rows = t_tile * vp
 
-    sx, valid = _assemble_ext(
-        s_lo, s_cur, s_hi, i, nt, hb=hb, halo=halo, v=v, c=c
+    sx = _assemble(s_lo, s_cur, s_hi, hb, halo, vp).astype(
+        jnp.float32
     )
-    ux, _ = _assemble_ext(
-        u_lo, u_cur, u_hi, i, nt, hb=hb, halo=halo, v=v, c=c
-    )
-    gux, _ = _assemble_ext(
-        gu_lo, gu_cur, gu_hi, i, nt, hb=hb, halo=halo, v=v, c=c
-    )
-    sx = sx.astype(jnp.float32)
-
+    valid = _edge_valid(sx.shape[0], halo_rows, core_rows, i, nt)
     h = (
         jnp.maximum(sx * scale_ref[0] + shift_ref[0], 0.0) * valid
     )
-    mask = (h > 0.0).astype(jnp.float32)
-    # stats cotangents fold into an effective conv-output gradient;
-    # edge-clamped halo rows don't exist in the sequence -> mask
-    gue = (
-        gux.astype(jnp.float32)
-        + gsum_ref[0].astype(jnp.float32)
-        + 2.0 * ux.astype(jnp.float32)
-        * gsumsq_ref[0].astype(jnp.float32)
-    ) * valid
+    gue = _assemble(gue_lo, gue_cur, gue_hi, hb, halo, vp)
+    gue = (gue.astype(jnp.float32) * valid).astype(wtall_ref.dtype)
 
-    h16 = h.astype(wtall_ref.dtype)
-    gue16 = gue.astype(wtall_ref.dtype)
-
-    # g_h[r] = sum_e gue[r + (e - halo)*V] @ W[ks-1-e]^T — the forward's
-    # shifted form with taps reversed and transposed
-    q = jnp.dot(
-        gue16, wtall_ref[:], preferred_element_type=jnp.float32
-    )
+    # g_h[r] = sum_e gue[r + (e - halo)*VP] @ W[ks-1-e]^T — the
+    # forward's shifted form with taps reversed and transposed
+    q = jnp.dot(gue, wtall_ref[:], preferred_element_type=jnp.float32)
     gh = jnp.zeros((core_rows, c), jnp.float32)
     for e in range(ks):
-        gh = gh + q[e * v : e * v + core_rows, e * c : (e + 1) * c]
-
-    mask_core = mask[halo_rows : halo_rows + core_rows]
+        gh = gh + q[e * vp : e * vp + core_rows,
+                    e * c : (e + 1) * c]
+    mask_core = (
+        h[halo_rows : halo_rows + core_rows] > 0.0
+    ).astype(jnp.float32)
     ghm = gh * mask_core
-    gs = ghm * scale_ref[0].astype(jnp.float32)
-    gs_ref[0] = gs.astype(gs_ref.dtype)
+    scale_f = scale_ref[0].astype(jnp.float32)
+    gs_ref[0] = (ghm * scale_f).astype(gs_ref.dtype)
 
-    # dW[dt] += h_ext[shifted]^T @ gue_core: stack the ks shifted h views
-    # horizontally, contract rows in ONE (ks*C, core)x(core, C) matmul
-    h_all = jnp.concatenate(
-        [h16[dt * v : dt * v + core_rows, :] for dt in range(ks)],
-        axis=1,
-    )
-    gue_core = gue16[halo_rows : halo_rows + core_rows]
-    dw_part = jax.lax.dot_general(
-        h_all, gue_core,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
+    h16 = h.astype(wtall_ref.dtype)
+    gue_core = gue[halo_rows : halo_rows + core_rows]
     s_core = sx[halo_rows : halo_rows + core_rows]
-    dscale_part = jnp.sum(ghm * s_core, axis=0, keepdims=True)
-    dshift_part = jnp.sum(ghm, axis=0, keepdims=True)
-    dbias_part = jnp.sum(
-        gue[halo_rows : halo_rows + core_rows], axis=0, keepdims=True
-    )
 
     @pl.when((n == 0) & (i == 0))
     def _():
@@ -226,43 +232,55 @@ def _bwd_kernel(
         dshift_ref[:] = jnp.zeros_like(dshift_ref)
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
-    dwall_ref[:] = dwall_ref[:] + dw_part
-    dscale_ref[:] = dscale_ref[:] + dscale_part
-    dshift_ref[:] = dshift_ref[:] + dshift_part
-    dbias_ref[:] = dbias_ref[:] + dbias_part
+    # dW[dt] += h[shifted]^T @ gue — one row-contracting matmul per tap
+    # (a lane-dim concat of the ks shifted views would be one wider
+    # matmul, but Mosaic cannot lower lane concatenation of C<128
+    # pieces), accumulated straight into the output rows
+    for dt in range(ks):
+        part = jax.lax.dot_general(
+            h16[dt * vp : dt * vp + core_rows, :], gue_core,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwall_ref[dt * c : (dt + 1) * c, :] = (
+            dwall_ref[dt * c : (dt + 1) * c, :] + part
+        )
+
+    dscale_ref[:] = dscale_ref[:] + jnp.sum(
+        ghm * s_core, axis=0, keepdims=True
+    )
+    dshift_ref[:] = dshift_ref[:] + jnp.sum(
+        ghm, axis=0, keepdims=True
+    )
+    dbias_ref[:] = dbias_ref[:] + jnp.sum(
+        gue_core.astype(jnp.float32), axis=0, keepdims=True
+    )
 
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _halo_specs(t_tile: int, hb: int, v: int, c: int, nt: int):
-    """(lo, cur, hi) BlockSpecs over a ``(NM, T*V, C)`` array: the core
-    tile plus two ``hb``-frame halo streams with edge-clamped indices."""
-    rb = t_tile // hb
-
-    def lo_map(n, i):
-        return (n, jnp.maximum(i * rb - 1, 0), 0)
-
-    def hi_map(n, i):
-        return (n, jnp.minimum(i * rb + rb, nt * rb - 1), 0)
-
-    lo = pl.BlockSpec(
-        (1, hb * v, c), lo_map, memory_space=pltpu.VMEM
-    )
-    cur = pl.BlockSpec(
-        (1, t_tile * v, c), lambda n, i: (n, i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    hi = pl.BlockSpec(
-        (1, hb * v, c), hi_map, memory_space=pltpu.VMEM
-    )
-    return lo, cur, hi
+def _mm_dtype(s):
+    return jnp.bfloat16 if s.dtype == jnp.bfloat16 else jnp.float32
 
 
-def _vec_spec(c: int, rows: int = 1):
-    return pl.BlockSpec(
-        (rows, c), lambda n, i: (0, 0), memory_space=pltpu.VMEM
+def _pad_joints(x3, v: int, vp: int):
+    """(NM, T*V, C) view padded to (NM, T*VP, C) with zero joints."""
+    if v == vp:
+        return x3
+    nm, rows, c = x3.shape
+    x4 = x3.reshape(nm, rows // v, v, c)
+    x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, vp - v), (0, 0)))
+    return x4.reshape(nm, (rows // v) * vp, c)
+
+
+def _unpad_joints(x3, v: int, vp: int):
+    if v == vp:
+        return x3
+    nm, rows, c = x3.shape
+    return x3.reshape(nm, rows // vp, vp, c)[:, :, :v, :].reshape(
+        nm, (rows // vp) * v, c
     )
 
 
@@ -273,7 +291,7 @@ def affine_relu_tconv(s, scale, shift, kernel, bias, v: int, ks: int):
 
     Args:
       s: ``(NM, T, V, C)`` activations (f32 or bf16; compute is f32
-        affine -> bf16 matmul -> f32 accumulate).
+        affine -> matmul in the activation dtype -> f32 accumulate).
       scale, shift: ``(C,)`` folded BatchNorm affine.
       kernel: ``(ks, 1, C, C)`` flax HWIO temporal-conv weights.
       bias: ``(C,)`` conv bias.
@@ -294,28 +312,24 @@ def _fwd_impl(s, scale, shift, kernel, bias, v, ks):
     assert v_ == v and kernel.shape == (ks, 1, c, c), (
         s.shape, kernel.shape,
     )
-    t_tile = _pick_t_tile(t, c, ks, v)
+    vp = _roundup8(v)
+    t_tile = _pick_t_tile(t, c, ks, vp)
     hb = _halo_block(t_tile, ks // 2)
     nt = t // t_tile
     out_dtype = s.dtype
 
-    s3 = s.reshape(nm, t * v, c)
-    # matmul precision follows the activation dtype: bf16 activations ->
-    # bf16 MXU operands (f32 accumulate), f32 activations -> exact f32
-    mm_dtype = (
-        jnp.bfloat16 if s.dtype == jnp.bfloat16 else jnp.float32
-    )
+    s3 = _pad_joints(s.reshape(nm, t * v, c), v, vp)
     # W_all[ci, dt*C + co] = kernel[dt, 0, ci, co]
     wall = jnp.transpose(kernel[:, 0], (1, 0, 2)).reshape(
         c, ks * c
-    ).astype(mm_dtype)
+    ).astype(_mm_dtype(s))
     scale2 = scale.reshape(1, c).astype(jnp.float32)
     shift2 = shift.reshape(1, c).astype(jnp.float32)
     bias2 = bias.reshape(1, c).astype(jnp.float32)
 
-    lo, cur, hi = _halo_specs(t_tile, hb, v, c, nt)
+    lo, cur, hi = _halo_specs(t_tile, hb, vp, c, nt)
     kern = functools.partial(
-        _fwd_kernel, t_tile=t_tile, hb=hb, v=v, ks=ks,
+        _fwd_kernel, t_tile=t_tile, hb=hb, v=v, vp=vp, ks=ks,
         out_dtype=out_dtype,
     )
     u, s2, ss2 = pl.pallas_call(
@@ -331,21 +345,18 @@ def _fwd_impl(s, scale, shift, kernel, bias, v, ks):
             _vec_spec(c),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, t_tile * v, c), lambda n, i: (n, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            _vec_spec(c),
-            _vec_spec(c),
+            cur,
+            _vec_spec(c), _vec_spec(c),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nm, t * v, c), out_dtype),
+            jax.ShapeDtypeStruct((nm, t * vp, c), out_dtype),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
         interpret=_interpret(),
     )(s3, s3, s3, scale2, shift2, wall, bias2)
-    return u.reshape(nm, t, v, c), s2[0], ss2[0]
+    u = _unpad_joints(u, v, vp).reshape(nm, t, v, c)
+    return u, s2[0], ss2[0]
 
 
 def _vjp_fwd(s, scale, shift, kernel, bias, v, ks):
@@ -357,28 +368,33 @@ def _vjp_bwd(v, ks, res, cotangents):
     s, scale, shift, kernel, bias, u = res
     g_u, g_s2, g_ss2 = cotangents
     nm, t, v_, c = s.shape
-    t_tile = _pick_t_tile(t, c, ks, v)
+    vp = _roundup8(v)
+    t_tile = _pick_t_tile(t, c, ks, vp)
     hb = _halo_block(t_tile, ks // 2)
     nt = t // t_tile
 
-    mm_dtype = (
-        jnp.bfloat16 if s.dtype == jnp.bfloat16 else jnp.float32
-    )
-    s3 = s.reshape(nm, t * v, c)
-    u3 = u.reshape(nm, t * v, c)
-    gu3 = g_u.reshape(nm, t * v, c).astype(u.dtype)
+    s3 = _pad_joints(s.reshape(nm, t * v, c), v, vp)
+    # fold the stats cotangents into one effective conv-output gradient
+    # (a single fused XLA elementwise pass, BEFORE joint padding so the
+    # pad rows stay zero and contribute nothing to dW/dbias)
+    gue = (
+        g_u.reshape(nm, t * v, c).astype(jnp.float32)
+        + g_s2.astype(jnp.float32)
+        + 2.0
+        * u.reshape(nm, t * v, c).astype(jnp.float32)
+        * g_ss2.astype(jnp.float32)
+    ).astype(_mm_dtype(s))
+    gue3 = _pad_joints(gue, v, vp)
     # WT_all[co, e*C + ci] = kernel[ks-1-e, 0, ci, co]
     wt = jnp.transpose(kernel[::-1, 0], (2, 0, 1)).reshape(
         c, ks * c
-    ).astype(mm_dtype)
+    ).astype(_mm_dtype(s))
     scale2 = scale.reshape(1, c).astype(jnp.float32)
     shift2 = shift.reshape(1, c).astype(jnp.float32)
-    gsum2 = g_s2.reshape(1, c).astype(jnp.float32)
-    gsumsq2 = g_ss2.reshape(1, c).astype(jnp.float32)
 
-    lo, cur, hi = _halo_specs(t_tile, hb, v, c, nt)
+    lo, cur, hi = _halo_specs(t_tile, hb, vp, c, nt)
     kern = functools.partial(
-        _bwd_kernel, t_tile=t_tile, hb=hb, v=v, ks=ks
+        _bwd_kernel, t_tile=t_tile, hb=hb, v=v, vp=vp, ks=ks
     )
     gs, dwall, dscale, dshift, dbias = pl.pallas_call(
         kern,
@@ -386,19 +402,14 @@ def _vjp_bwd(v, ks, res, cotangents):
         in_specs=[
             lo, cur, hi,
             lo, cur, hi,
-            lo, cur, hi,
             _vec_spec(c), _vec_spec(c),
             pl.BlockSpec(
                 (c, ks * c), lambda n, i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            _vec_spec(c), _vec_spec(c),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, t_tile * v, c), lambda n, i: (n, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            cur,
             pl.BlockSpec(
                 (ks * c, c), lambda n, i: (0, 0),
                 memory_space=pltpu.VMEM,
@@ -406,17 +417,16 @@ def _vjp_bwd(v, ks, res, cotangents):
             _vec_spec(c), _vec_spec(c), _vec_spec(c),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nm, t * v, c), s.dtype),
+            jax.ShapeDtypeStruct((nm, t * vp, c), s.dtype),
             jax.ShapeDtypeStruct((ks * c, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
         interpret=_interpret(),
-    )(s3, s3, s3, u3, u3, u3, gu3, gu3, gu3,
-      scale2, shift2, wt, gsum2, gsumsq2)
+    )(s3, s3, s3, gue3, gue3, gue3, scale2, shift2, wt)
 
-    g_s = gs.reshape(nm, t, v, c).astype(s.dtype)
+    g_s = _unpad_joints(gs, v, vp).reshape(nm, t, v, c).astype(s.dtype)
     # dwall rows are dt*C+ci, cols co -> flax kernel layout (ks,1,C,C)
     g_kernel = dwall.reshape(ks, c, c)[:, None].astype(kernel.dtype)
     return (
