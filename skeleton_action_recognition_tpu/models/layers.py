@@ -30,7 +30,14 @@ DEFAULT_COMPUTE_DTYPE = None  # None = float32 everywhere (exact parity)
 
 
 def batch_norm(train: bool, name: str | None = None, **kwargs) -> nn.BatchNorm:
-    """BatchNorm with the reference stack's Keras defaults."""
+    """BatchNorm with the reference stack's Keras defaults.
+
+    Pass ``dtype=jnp.bfloat16`` to keep the normalize pass (and thus the
+    activation written back to HBM) in bf16 — flax still accumulates the
+    batch statistics in f32 internally, and parameters/running stats stay
+    f32. Without it, f32 params promote a bf16 input to an f32 output,
+    doubling the HBM traffic of every BN pass in the network.
+    """
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=0.99,

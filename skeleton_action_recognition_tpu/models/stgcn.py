@@ -45,7 +45,7 @@ class TemporalConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = batch_norm(train)(x)
+        x = batch_norm(train, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(
             self.filters,
@@ -55,7 +55,7 @@ class TemporalConv(nn.Module):
             kernel_init=CONV_INIT,
             dtype=self.dtype,
         )(x)
-        x = batch_norm(train)(x)
+        x = batch_norm(train, dtype=self.dtype)(x)
         return x
 
 
@@ -216,7 +216,9 @@ class STConvBlock(nn.Module):
                 dtype=self.dtype,
                 name="residual_conv",
             )(x)
-            res = batch_norm(train, name="residual_bn")(res)
+            res = batch_norm(
+                train, name="residual_bn", dtype=self.dtype
+            )(res)
 
         factory = self.sgcn_factory or (
             lambda f: GraphConvTD(f, dtype=self.dtype, name="sgcn")
@@ -239,11 +241,13 @@ class DataBatchNorm(nn.Module):
     """BatchNorm over flattened ``(V * C)`` input features
     (``stgcn.py:142-147``): stats per (joint, channel) over batch x time."""
 
+    dtype: Optional[Any] = None
+
     @nn.compact
     def __call__(self, x, train: bool):
         nm, t, v, c = x.shape
         x = x.reshape(nm, t, v * c)
-        x = batch_norm(train)(x)
+        x = batch_norm(train, dtype=self.dtype)(x)
         return x.reshape(nm, t, v, c)
 
 
@@ -285,7 +289,7 @@ class STGCNBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, a, train: bool):
         x, n, m = reshape_skeleton_input(x)
-        x = DataBatchNorm(name="data_bn")(x, train)
+        x = DataBatchNorm(name="data_bn", dtype=self.dtype)(x, train)
 
         if not self.remat:
             block_cls = STConvBlock
@@ -310,7 +314,8 @@ class STGCNBackbone(nn.Module):
             if i == self.extra_block_index and self.extra_block_factory:
                 x, a = self.extra_block_factory()(x, a, train)
 
-        x = jnp.mean(x, axis=(1, 2))  # global average pool over (T, V)
+        # pool in f32: a bf16 sum over T*V ~ 7.5k terms loses mantissa
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         x = x.reshape(n, m, -1).mean(axis=1)  # mean over bodies
         x = nn.Dense(
             self.num_classes, kernel_init=CONV_INIT, name="logits"
