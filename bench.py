@@ -88,9 +88,10 @@ def main():
     # (VP-padding + fine grid overhead outweigh the pass savings so far)
     # — stock stays the default until the kernel wins end-to-end
     fused = os.environ.get("BENCH_FUSED_TCONV", "0") != "0"
+    fused_sgcn = os.environ.get("BENCH_FUSED_SGCN", "0") != "0"
     model = stgcn.Model(
         num_classes=60, dtype=jnp.bfloat16, remat=False,
-        fused_tconv=fused,
+        fused_tconv=fused, fused_sgcn=fused_sgcn,
     )
     tx = optax.sgd(0.1, momentum=0.9, nesterov=True)
     state = create_train_state(model, jax.random.key(0), x[:1], tx)

@@ -119,9 +119,13 @@ def get_parser() -> argparse.ArgumentParser:
 
 def build_log_dir(arg) -> str:
     run_params = dict(vars(arg))
+    # num_epochs stays out of the run name: resuming with a raised
+    # --num-epochs must land in the SAME run directory (otherwise
+    # --resume silently restarts from scratch in a fresh dir)
     for k in (
         "train_data_path", "test_data_path", "log_dir", "save_freq",
         "freeze_graph_until", "resume", "profile_dir", "seed",
+        "num_epochs",
     ):
         run_params.pop(k, None)
     name = config_lib.run_name_from_args(run_params, notes=arg.notes)

@@ -93,9 +93,11 @@ def main(argv=None):
     global_batch = arg.batch_size * num_replicas
 
     run_params = dict(vars(arg))
+    # num_epochs stays out of the run name: resuming with a raised
+    # --num-epochs must land in the SAME run directory
     for k in (
         "data_path", "label_path", "log_dir", "resume", "seed",
-        "lambda_rel_step", "loc_step",
+        "lambda_rel_step", "loc_step", "num_epochs",
     ):
         run_params.pop(k, None)
     if arg.lambda_train_epoch > arg.num_epochs:

@@ -105,6 +105,25 @@ class GraphIsoConvTD(nn.Module):
         return out, a
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder matching ``nn.Dense``'s variable tree (used by
+    the fused-kernel path so checkpoints stay interchangeable)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", CONV_INIT, (in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,),
+            jnp.float32,
+        )
+        return kernel, bias
+
+
 class GraphConvTD(nn.Module):
     """ST-GCN spatial conv (``models/gcn.py:187-209``).
 
@@ -118,6 +137,12 @@ class GraphConvTD(nn.Module):
     instead of ``K * C_out``, which halves peak activation memory at the
     channel-doubling blocks and removes XLA's transpose copies of the
     ``(..., V, K, C_out)`` tensor on the backward path.
+
+    ``fused=True`` routes through the fused Pallas kernel
+    (:func:`..ops.pallas.sgcn.make_fused_graph_conv`): the ``K * C_out``
+    intermediate stays in VMEM instead of round-tripping HBM. Requires a
+    *constant* adjacency (numpy passed via ``fused_adjacency``) — not
+    compatible with trainable adjacency stacks.
     """
 
     filters: int
@@ -127,9 +152,29 @@ class GraphConvTD(nn.Module):
     # both adjacency-first variants (einsum 'ntwkc': OOM-prone transpose
     # copies; per-k concat: ~25% slower end-to-end), so it stays default.
     adjacency_first: bool = False
+    fused: bool = False
+    fused_adjacency: Optional[np.ndarray] = None
 
     @nn.compact
     def __call__(self, x, a, train: bool = False):
+        if self.fused:
+            from skeleton_action_recognition_tpu.ops.pallas.sgcn import (
+                make_fused_graph_conv,
+            )
+
+            a_np = self.fused_adjacency
+            assert a_np is not None, (
+                "fused GraphConvTD needs the constant adjacency as "
+                "numpy (fused_adjacency=...)"
+            )
+            c_in = x.shape[-1]
+            kernel, bias = _DenseParams(
+                self.filters * self.kernel_size, name="Dense_0"
+            )(c_in)
+            fgc = make_fused_graph_conv(a_np, x.shape[2])
+            out = fgc(x.astype(self.dtype or x.dtype), kernel, bias)
+            return out, a
+
         a = a.astype(self.dtype or x.dtype)
         if self.adjacency_first:
             xc = x.astype(self.dtype or x.dtype)

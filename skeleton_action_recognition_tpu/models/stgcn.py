@@ -199,6 +199,8 @@ class STConvBlock(nn.Module):
     sgcn_factory: Optional[Callable[[int], nn.Module]] = None
     dtype: Optional[Any] = None
     fused_tconv: bool = False
+    fused_sgcn: bool = False
+    fused_adjacency: Optional[np.ndarray] = None
 
     @nn.compact
     def __call__(self, x, a, train: bool):
@@ -221,7 +223,13 @@ class STConvBlock(nn.Module):
             )(res)
 
         factory = self.sgcn_factory or (
-            lambda f: GraphConvTD(f, dtype=self.dtype, name="sgcn")
+            lambda f: GraphConvTD(
+                f,
+                dtype=self.dtype,
+                fused=self.fused_sgcn,
+                fused_adjacency=self.fused_adjacency,
+                name="sgcn",
+            )
         )
         x, a = factory(self.filters)(x, a, train)
         if self.fused_tconv and self.stride == 1:
@@ -285,6 +293,8 @@ class STGCNBackbone(nn.Module):
     # outputs and recomputes only the cheap (HBM-bound) elementwise chains
     remat_policy: str = "full"
     fused_tconv: bool = False
+    fused_sgcn: bool = False
+    fused_adjacency: Optional[np.ndarray] = None
 
     @nn.compact
     def __call__(self, x, a, train: bool):
@@ -309,6 +319,8 @@ class STGCNBackbone(nn.Module):
                 sgcn_factory=self.sgcn_factory,
                 dtype=self.dtype,
                 fused_tconv=self.fused_tconv,
+                fused_sgcn=self.fused_sgcn,
+                fused_adjacency=self.fused_adjacency,
                 name=f"block_{i}",
             )(x, a, train)
             if i == self.extra_block_index and self.extra_block_factory:
@@ -335,6 +347,7 @@ class Model(nn.Module):
     remat: bool = True  # rematerialize blocks (trade FLOPs for HBM)
     remat_policy: str = "full"  # or 'dots' (save matmuls, redo elementwise)
     fused_tconv: bool = False  # fused Pallas temporal chain in training
+    fused_sgcn: bool = False  # fused Pallas spatial conv (constant A only)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -345,11 +358,18 @@ class Model(nn.Module):
             )
         else:
             a = jnp.asarray(a_init)
+        if self.fused_sgcn and self.trainable_adjacency:
+            raise ValueError(
+                "fused_sgcn bakes the adjacency into a constant MXU "
+                "operand — incompatible with trainable_adjacency"
+            )
         return STGCNBackbone(
             self.num_classes,
             dtype=self.dtype,
             remat=self.remat,
             remat_policy=self.remat_policy,
             fused_tconv=self.fused_tconv,
+            fused_sgcn=self.fused_sgcn,
+            fused_adjacency=a_init if self.fused_sgcn else None,
             name="backbone",
         )(x, a, train)

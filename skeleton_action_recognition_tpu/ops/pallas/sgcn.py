@@ -1,0 +1,335 @@
+"""Fused ST-GCN spatial graph-conv Pallas kernel.
+
+The spatial conv (``models/gcn.py:187-209`` in the reference; flax form
+in :class:`...models.gcn.GraphConvTD`) is two chained contractions:
+
+    ``z_k = x @ W_k + b_k``            (1x1 conv, one slice per partition)
+    ``out[.., w, o] = sum_kv A[k,v,w] z_k[.., v, o]``
+
+XLA materializes the full ``z`` — K=3 times the activation size
+(~740 MB at the bench shape) — writes it to HBM, reads it back for the
+adjacency einsum, and does the same dance again on the backward pass
+(``dz`` both ways). That HBM round-trip dominates the measured spatial
+cost (fwd ~1.3 ms of 2.7 is just the z write+read). This kernel keeps
+``z`` entirely in VMEM.
+
+The adjacency contraction is MXU-hostile at face value (V=25 nodes).
+Two layout tricks make it a full-rate matmul:
+
+* the joint axis is zero-padded to ``VP = roundup8(V)`` and G frames are
+  grouped so ``G*VP ~ 128`` rows — the MXU's native M;
+* the per-partition contraction for one group is ONE matmul against a
+  precomputed block-diagonal adjacency ``P_k (G*VP, G*VP)`` with
+  ``P_k[(r,w),(r,v)] = A[k,v,w]``. Everything the kernel touches is
+  indexed by a leading ``k`` axis or sliced along *rows* (sublanes) at
+  group boundaries — no lane-offset slicing or lane concatenation, which
+  Mosaic on v5e cannot lower for ``C_out < 128`` lane tiles (the
+  original row-concat formulation died in ``tpu.concatenate`` with
+  ``vpad {0,64}`` operands). The G-fold block-diagonal zero padding
+  costs G x the raw contraction FLOPs but runs at ~10x the utilization.
+
+Backward (hand-derived, same tiling): ``dz_k = P_k^T @ g`` per group,
+``dx = sum_k dz_k @ W_k^T`` and ``dW/db`` accumulated across the
+sequential grid; ``z`` is recomputed on the MXU instead of saved.
+
+The adjacency itself is treated as a constant (zero cotangent) — the
+fused path is only selected when ``trainable_adjacency`` is off, which
+is the reference ST-GCN configuration (``stgcn.py:105-109``).
+Parity with the XLA layer is pinned in ``tests/test_pallas_sgcn.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _roundup8(v: int) -> int:
+    return -(-v // 8) * 8
+
+
+def _pick_tiles(t: int, vp: int):
+    """(t_tile, g): tile = largest divisor of ``t`` <= 64 frames; group
+    = largest divisor of ``t_tile`` with ``g * vp <= 128`` rows."""
+    t_tile = max(d for d in range(1, min(t, 64) + 1) if t % d == 0)
+    g = max(
+        d for d in range(1, t_tile + 1)
+        if t_tile % d == 0 and d * vp <= 128
+    )
+    return t_tile, g
+
+
+def _block_adj(a: np.ndarray, v: int, vp: int, g: int) -> np.ndarray:
+    """Per-partition block-diagonal adjacency:
+    ``P[k, (r,w), (r,v)] = A[k, v, w]`` for r in range(g)."""
+    k_parts = a.shape[0]
+    p = np.zeros((k_parts, g * vp, g * vp), np.float32)
+    at = np.zeros((k_parts, vp, vp), np.float32)
+    at[:, :v, :v] = np.transpose(np.asarray(a, np.float32), (0, 2, 1))
+    for k in range(k_parts):
+        for r in range(g):
+            p[k, r * vp : (r + 1) * vp, r * vp : (r + 1) * vp] = at[k]
+    return p
+
+
+def _fwd_kernel(
+    x_ref, w_ref, b_ref, p_ref, out_ref,
+    *, t_tile: int, g: int, vp: int, k_parts: int, out_dtype,
+):
+    grp_rows = g * vp
+    mm = w_ref.dtype
+
+    zs = [
+        (
+            jnp.dot(
+                x_ref[0], w_ref[k], preferred_element_type=jnp.float32
+            )
+            + b_ref[k]
+        ).astype(mm)
+        for k in range(k_parts)
+    ]
+    for gi in range(t_tile // g):
+        lo = gi * grp_rows
+        acc = jnp.dot(
+            p_ref[0],
+            zs[0][lo : lo + grp_rows, :],
+            preferred_element_type=jnp.float32,
+        )
+        for k in range(1, k_parts):
+            acc = acc + jnp.dot(
+                p_ref[k],
+                zs[k][lo : lo + grp_rows, :],
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0, lo : lo + grp_rows, :] = acc.astype(out_dtype)
+
+
+def _bwd_kernel(
+    x_ref, gout_ref, wt_ref, pt_ref,
+    gx_ref, dw_ref, db_ref,
+    dz_buf,
+    *, t_tile: int, g: int, vp: int, k_parts: int,
+):
+    n, i = pl.program_id(0), pl.program_id(1)
+    c_in = x_ref.shape[-1]
+    rows = t_tile * vp
+    grp_rows = g * vp
+    mm = wt_ref.dtype
+
+    # dz_k per group: P_k^T @ g  (pt_ref[k] is P_k pre-transposed)
+    for gi in range(t_tile // g):
+        lo = gi * grp_rows
+        gg = gout_ref[0, lo : lo + grp_rows, :].astype(mm)
+        for k in range(k_parts):
+            dz_buf[k, lo : lo + grp_rows, :] = jnp.dot(
+                pt_ref[k], gg, preferred_element_type=jnp.float32
+            ).astype(mm)
+
+    @pl.when((n == 0) & (i == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    x16 = x_ref[0].astype(mm)
+    gx = jnp.zeros((rows, c_in), jnp.float32)
+    for k in range(k_parts):
+        dzk = dz_buf[k]
+        gx = gx + jnp.dot(
+            dzk, wt_ref[k], preferred_element_type=jnp.float32
+        )
+        dw_ref[k] = dw_ref[k] + jax.lax.dot_general(
+            x16, dzk,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_ref[k] = db_ref[k] + jnp.sum(
+            dzk.astype(jnp.float32), axis=0, keepdims=True
+        )
+    gx_ref[0] = gx.astype(gx_ref.dtype)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _mm_dtype(x):
+    return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+
+def _pad_joints(x3, v: int, vp: int):
+    if v == vp:
+        return x3
+    nm, rows, c = x3.shape
+    x4 = x3.reshape(nm, rows // v, v, c)
+    x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, vp - v), (0, 0)))
+    return x4.reshape(nm, (rows // v) * vp, c)
+
+
+def _unpad_joints(x3, v: int, vp: int):
+    if v == vp:
+        return x3
+    nm, rows, c = x3.shape
+    return x3.reshape(nm, rows // vp, vp, c)[:, :, :v, :].reshape(
+        nm, (rows // vp) * v, c
+    )
+
+
+def _tile_spec(rows: int, c: int):
+    return pl.BlockSpec(
+        (1, rows, c), lambda n, i: (n, i, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(
+        shape, lambda n, i: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def make_fused_graph_conv(a: np.ndarray, v: int):
+    """Build ``fgc(x, kernel, bias) -> out`` for a CONSTANT adjacency
+    stack ``a (K, V, V)`` (numpy — the block-diagonal MXU operands are
+    precomputed host-side, so this cannot be used with
+    ``trainable_adjacency``; the stock ST-GCN adjacency is non-trainable,
+    reference ``stgcn.py:105-109``).
+
+    ``x``: ``(NM, T, V, C_in)``; ``kernel``: ``(C_in, K*C_out)`` flax
+    Dense kernel (partition-major column blocks, matching
+    :class:`...models.gcn.GraphConvTD`); ``bias``: ``(K*C_out,)``.
+    Returns ``(NM, T, V, C_out)`` in ``x.dtype``.
+    """
+    a = np.asarray(a, np.float32)
+    k_parts = a.shape[0]
+
+    @jax.custom_vjp
+    def fgc(x, kernel, bias):
+        return _fwd_impl(x, kernel, bias, a, v, k_parts)
+
+    def fwd(x, kernel, bias):
+        return fgc(x, kernel, bias), (x, kernel, bias)
+
+    def bwd(res, g_out):
+        x, kernel, bias = res
+        return _bwd_impl(x, kernel, bias, g_out, a, v, k_parts)
+
+    fgc.defvjp(fwd, bwd)
+    return fgc
+
+
+def _prep(x, kernel, a, v, k_parts):
+    nm, t, v_, c_in = x.shape
+    assert v_ == v and kernel.shape[1] % k_parts == 0
+    vp = _roundup8(v)
+    t_tile, g = _pick_tiles(t, vp)
+    co = kernel.shape[1] // k_parts
+    blk = _block_adj(a, v, vp, g)
+    return nm, t, c_in, vp, t_tile, g, co, blk
+
+
+def _split_w(kernel, k_parts, co, mm):
+    """Flax ``(C_in, K*Co)`` kernel -> ``(K, C_in, Co)`` (host-side
+    reshape; keeps all kernel-side indexing on leading dims)."""
+    c_in = kernel.shape[0]
+    return jnp.transpose(
+        kernel.reshape(c_in, k_parts, co), (1, 0, 2)
+    ).astype(mm)
+
+
+def _fwd_impl(x, kernel, bias, a, v, k_parts):
+    nm, t, c_in, vp, t_tile, g, co, blk = _prep(
+        x, kernel, a, v, k_parts
+    )
+    mm = _mm_dtype(x)
+    x3 = _pad_joints(x.reshape(nm, t * v, c_in), v, vp)
+    w = _split_w(kernel, k_parts, co, mm)
+    b3 = jnp.transpose(
+        bias.reshape(1, k_parts, co), (1, 0, 2)
+    ).astype(jnp.float32)
+    p = jnp.asarray(blk, mm)
+
+    kern = functools.partial(
+        _fwd_kernel, t_tile=t_tile, g=g, vp=vp, k_parts=k_parts,
+        out_dtype=x.dtype,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nm, t // t_tile),
+        in_specs=[
+            _tile_spec(t_tile * vp, c_in),
+            _const_spec(w.shape),
+            _const_spec(b3.shape),
+            _const_spec(p.shape),
+        ],
+        out_specs=_tile_spec(t_tile * vp, co),
+        out_shape=jax.ShapeDtypeStruct((nm, t * vp, co), x.dtype),
+        interpret=_interpret(),
+    )(x3, w, b3, p)
+    return _unpad_joints(out, v, vp).reshape(nm, t, v, co)
+
+
+def _bwd_impl(x, kernel, bias, g_out, a, v, k_parts):
+    nm, t, c_in, vp, t_tile, g, co, blk = _prep(
+        x, kernel, a, v, k_parts
+    )
+    mm = _mm_dtype(x)
+    x3 = _pad_joints(x.reshape(nm, t * v, c_in), v, vp)
+    g3 = _pad_joints(
+        g_out.reshape(nm, t * v, co).astype(x.dtype), v, vp
+    )
+    # (K, Co, C_in): dx contraction operand, leading-dim indexed
+    wt = jnp.transpose(
+        _split_w(kernel, k_parts, co, mm), (0, 2, 1)
+    )
+    pt = jnp.asarray(np.transpose(blk, (0, 2, 1)), mm)
+
+    kern = functools.partial(
+        _bwd_kernel, t_tile=t_tile, g=g, vp=vp, k_parts=k_parts
+    )
+    gx, dw, db = pl.pallas_call(
+        kern,
+        grid=(nm, t // t_tile),
+        in_specs=[
+            _tile_spec(t_tile * vp, c_in),
+            _tile_spec(t_tile * vp, co),
+            _const_spec(wt.shape),
+            _const_spec(pt.shape),
+        ],
+        out_specs=[
+            _tile_spec(t_tile * vp, c_in),
+            pl.BlockSpec(
+                (k_parts, c_in, co), lambda n, i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k_parts, 1, co), lambda n, i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nm, t * vp, c_in), x.dtype),
+            jax.ShapeDtypeStruct((k_parts, c_in, co), jnp.float32),
+            jax.ShapeDtypeStruct((k_parts, 1, co), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k_parts, t_tile * vp, co), mm),
+        ],
+        interpret=_interpret(),
+    )(x3, g3, wt, pt)
+
+    g_x = _unpad_joints(gx, v, vp).reshape(nm, t, v, c_in).astype(
+        x.dtype
+    )
+    # dw (K, C_in, Co) -> flax layout (C_in, K*Co)
+    g_kernel = jnp.transpose(dw, (1, 0, 2)).reshape(
+        c_in, k_parts * co
+    ).astype(kernel.dtype)
+    g_bias = jnp.transpose(db, (1, 0, 2)).reshape(
+        k_parts * co
+    ).astype(bias.dtype)
+    return g_x, g_kernel, g_bias

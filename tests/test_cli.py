@@ -200,3 +200,12 @@ def test_main_gnn_trainable_adjacency_freeze(
         np.asarray(params["adjacency_matrix"]),
         Graph("spatial").A.astype(np.float32),
     )
+
+
+def test_run_name_ignores_num_epochs():
+    """--resume with a raised --num-epochs must resolve to the SAME run
+    directory (otherwise resume silently restarts in a fresh dir)."""
+    p = main_gnn.get_parser()
+    a1 = p.parse_args(["--model", "stgcn", "--num-epochs", "2"])
+    a2 = p.parse_args(["--model", "stgcn", "--num-epochs", "5"])
+    assert main_gnn.build_log_dir(a1) == main_gnn.build_log_dir(a2)
