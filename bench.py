@@ -51,15 +51,20 @@ PEAK_TFLOPS = {
 
 
 def _step_flops(step, state, x, y):
-    """XLA's own FLOP count for one jitted train step (analytical; the
-    compiler counts matmul/conv MACs x2 plus elementwise)."""
+    """XLA's FLOP count for one STOCK-model train step, from the
+    pre-compile client-side analysis (no backend compile needed).
+
+    The FLOPs basis is deliberately the stock model even when a fused
+    Pallas config is being timed: the Pallas spatial kernel does G x the
+    raw adjacency-contraction FLOPs on block-diagonal zero padding, and
+    counting that as useful work would overstate MFU. Same basis ->
+    comparable utilization across configs."""
     try:
-        compiled = (
+        cost = (
             jax.jit(step, static_argnums=(3,))
             .lower(state, x, y, False)
-            .compile()
+            .cost_analysis()
         )
-        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return float(cost.get("flops", 0.0)) or None
@@ -86,9 +91,12 @@ def main():
     # with the conv-first contraction): 375 clips/s vs 343 remat / 245 prior
     # fused Pallas tconv measured 275 vs 366 clips/s stock at this shape
     # (VP-padding + fine grid overhead outweigh the pass savings so far)
-    # — stock stays the default until the kernel wins end-to-end
+    # fused Pallas spatial conv measured 452 vs 382 clips/s stock
+    # (z intermediate stays in VMEM) — default on; sgcn+tconv together
+    # measured 293 (the tconv kernel's overheads dominate), so tconv
+    # stays opt-in
     fused = os.environ.get("BENCH_FUSED_TCONV", "0") != "0"
-    fused_sgcn = os.environ.get("BENCH_FUSED_SGCN", "0") != "0"
+    fused_sgcn = os.environ.get("BENCH_FUSED_SGCN", "1") != "0"
     model = stgcn.Model(
         num_classes=60, dtype=jnp.bfloat16, remat=False,
         fused_tconv=fused, fused_sgcn=fused_sgcn,
@@ -123,7 +131,7 @@ def main():
 
     clips_per_sec = BATCH / per_step
 
-    # MFU: XLA-counted FLOPs per step / wall time / device bf16 peak
+    # MFU: stock-model FLOPs per step / wall time / device bf16 peak
     out = {
         "metric": "stgcn_train_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -132,7 +140,12 @@ def main():
             clips_per_sec / REFERENCE_CPU_CLIPS_PER_SEC, 2
         ),
     }
-    flops = _step_flops(step, state, x, y)
+    stock_state = state.replace(
+        apply_fn=stgcn.Model(
+            num_classes=60, dtype=jnp.bfloat16, remat=False
+        ).apply
+    )
+    flops = _step_flops(step, stock_state, x, y)
     peak = PEAK_TFLOPS.get(jax.devices()[0].device_kind)
     if flops and peak:
         achieved = flops / per_step / 1e12

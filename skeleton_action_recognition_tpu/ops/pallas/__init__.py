@@ -3,5 +3,8 @@
 from skeleton_action_recognition_tpu.ops.pallas.radar import (
     radar_return_fused,
 )
+from skeleton_action_recognition_tpu.ops.pallas.sgcn import (
+    make_fused_graph_conv,
+)
 
-__all__ = ["radar_return_fused"]
+__all__ = ["radar_return_fused", "make_fused_graph_conv"]

@@ -209,3 +209,52 @@ def test_run_name_ignores_num_epochs():
     a1 = p.parse_args(["--model", "stgcn", "--num-epochs", "2"])
     a2 = p.parse_args(["--model", "stgcn", "--num-epochs", "5"])
     assert main_gnn.build_log_dir(a1) == main_gnn.build_log_dir(a2)
+
+
+@pytest.mark.slow
+def test_main_gnn_fused_sgcn(tiny_tfrecord_dataset, tmp_path):
+    """--fused-sgcn trains end-to-end through the CLI (Pallas interpret
+    path on CPU) and produces a checkpoint loadable by the stock model
+    (the fused layer mirrors nn.Dense's variable tree)."""
+    train_dir, test_dir = tiny_tfrecord_dataset
+    log_dir = tmp_path / "logs"
+    main_gnn.main([
+        "--model", "stgcn",
+        "--batch-size", "2",
+        "--num-epochs", "1",
+        "--save-freq", "1",
+        "--num-classes", "4",
+        "--train-data-path", str(train_dir),
+        "--test-data-path", str(test_dir),
+        "--log-dir", str(log_dir),
+        "--base-lr", "0.01",
+        "--fused-sgcn",
+    ])
+    run_dir = log_dir / os.listdir(log_dir)[0]
+    assert "checkpoints" in os.listdir(run_dir)
+
+    import jax
+    import jax.numpy as jnp
+
+    from skeleton_action_recognition_tpu.models import stgcn
+    from skeleton_action_recognition_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+
+    stock = stgcn.Model(num_classes=4)
+    variables = stock.init(
+        jax.random.key(0), jnp.zeros((1, 3, 32, 25, 2)), train=False
+    )
+    mgr = CheckpointManager(str(run_dir / "checkpoints"))
+    params, batch_stats, step = mgr.restore_for_eval(
+        variables["params"], variables["batch_stats"]
+    )
+    mgr.close()
+    assert step == 1
+    out, _ = stock.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.zeros((1, 3, 32, 25, 2)),
+        train=False,
+        mutable=[],
+    )
+    assert np.isfinite(np.asarray(out)).all()
