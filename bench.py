@@ -50,26 +50,67 @@ PEAK_TFLOPS = {
 }
 
 
-def _step_flops(step, state, x, y):
+_FLOPS_CHILD = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+sys.path.insert(0, {repo!r})
+from skeleton_action_recognition_tpu.models import stgcn
+from skeleton_action_recognition_tpu.train import (
+    create_train_state, make_train_step,
+)
+
+batch, t = {batch}, {t}
+x = jnp.zeros((batch, 3, t, 25, 2), jnp.float32)
+y = jnp.zeros((batch, 60), jnp.float32)
+model = stgcn.Model(num_classes=60, dtype=jnp.bfloat16, remat=False)
+state = create_train_state(model, jax.random.key(0), x[:1], optax.sgd(0.1))
+step = make_train_step(global_batch_size=batch)
+cost = (
+    jax.jit(step, static_argnums=(3,))
+    .lower(state, x, y, False)
+    .cost_analysis()
+)
+if isinstance(cost, (list, tuple)):
+    cost = cost[0]
+print("FLOPS=" + repr(float(cost.get("flops", 0.0))))
+"""
+
+
+def _step_flops(batch, t):
     """XLA's FLOP count for one STOCK-model train step, from the
-    pre-compile client-side analysis (no backend compile needed).
+    pre-compile client-side analysis in a CPU-pinned subprocess (the
+    axon TPU backend returns None from ``lower().cost_analysis()``, and
+    tracing on CPU needs no backend compile).
 
     The FLOPs basis is deliberately the stock model even when a fused
     Pallas config is being timed: the Pallas spatial kernel does G x the
     raw adjacency-contraction FLOPs on block-diagonal zero padding, and
     counting that as useful work would overstate MFU. Same basis ->
     comparable utilization across configs."""
+    import subprocess
+    import sys
+
     try:
-        cost = (
-            jax.jit(step, static_argnums=(3,))
-            .lower(state, x, y, False)
-            .cost_analysis()
+        src = _FLOPS_CHILD.format(
+            repo=os.path.dirname(os.path.abspath(__file__)),
+            batch=batch, t=t,
         )
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
+        out = subprocess.run(
+            [sys.executable, "-c", src],
+            capture_output=True, text=True, timeout=600,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        ).stdout
+        for line in out.splitlines():
+            if line.startswith("FLOPS="):
+                return float(line.split("=", 1)[1]) or None
     except Exception:
-        return None
+        pass
+    return None
 
 
 def main():
@@ -140,12 +181,7 @@ def main():
             clips_per_sec / REFERENCE_CPU_CLIPS_PER_SEC, 2
         ),
     }
-    stock_state = state.replace(
-        apply_fn=stgcn.Model(
-            num_classes=60, dtype=jnp.bfloat16, remat=False
-        ).apply
-    )
-    flops = _step_flops(step, stock_state, x, y)
+    flops = _step_flops(BATCH, T)
     peak = PEAK_TFLOPS.get(jax.devices()[0].device_kind)
     if flops and peak:
         achieved = flops / per_step / 1e12

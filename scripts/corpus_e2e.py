@@ -166,12 +166,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips-per-class", type=int, default=50)
     ap.add_argument(
-        "--epochs", type=int, nargs=2, default=(2, 6),
+        "--epochs", type=int, nargs=2, default=(3, 15),
         metavar=("FIRST", "TOTAL"),
-        help="epochs before the kill/resume point, and total epochs",
+        help="epochs before the kill/resume point, and total epochs "
+        "(30 steps/epoch at the defaults; 60-class SGD from scratch "
+        "needs a few hundred steps — 6-epoch runs plateau at ~0.13-0.18)",
     )
     ap.add_argument(
-        "--lr-steps", type=int, nargs="+", default=[3, 5],
+        "--lr-steps", type=int, nargs="+", default=[8, 12],
         help="epochs at which the lr decays 10x (constant base-lr "
         "oscillates on this small corpus: measured 0.185 at epoch 3 "
         "-> 0.126 at epoch 5 without decay)",

@@ -162,6 +162,35 @@ def main():
         if want(f"spatial_{tag}_train"):
             timeit(f"spatial_{tag}_train", spatial_train, x16, spv)
 
+        # --- fused Pallas spatial conv (fwd / train) ---
+        from skeleton_action_recognition_tpu.ops.pallas.sgcn import (
+            make_fused_graph_conv,
+        )
+
+        fgc = make_fused_graph_conv(a_np, V)
+        fw = jnp.asarray(
+            rng.normal(size=(c_in, 3 * c_out)).astype(np.float32) * 0.1
+        )
+        fb = jnp.zeros((3 * c_out,), jnp.float32)
+
+        def fspatial_fwd(c, x, fw, fb):
+            return feed(fgc(x + c.astype(x.dtype), fw, fb))
+
+        if want(f"fspatial_{tag}_fwd"):
+            timeit(f"fspatial_{tag}_fwd", fspatial_fwd, x16, fw, fb)
+
+        def fspatial_train(c, x, fw, fb):
+            def loss(args):
+                fw_, fb_ = args
+                out = fgc(x + c.astype(x.dtype), fw_, fb_)
+                return jnp.mean(out.astype(jnp.float32))
+
+            val, g = jax.value_and_grad(loss)((fw, fb))
+            return grad_feed(val, g)
+
+        if want(f"fspatial_{tag}_train"):
+            timeit(f"fspatial_{tag}_train", fspatial_train, x16, fw, fb)
+
         # --- dense part only (the K*F channel matmul) ---
         w = jnp.asarray(
             rng.normal(size=(c_in, 3 * c_out)).astype(np.float32)

@@ -204,9 +204,12 @@ def main(argv=None):
         transform=transform,
     )
 
-    boundaries = schedules.reference_gnn_boundaries(
-        arg.steps, arg.batch_size
-    )
+    # --steps means "decay 10x at these epochs". The reference converts
+    # epochs to iteration boundaries with a hardcoded 40000-samples-per-
+    # epoch (main_gnn.py:303-314, NTU xview's ~37.6k rounded); computing
+    # from the ACTUAL epoch length keeps that meaning on any corpus
+    # (with the hardcoded constant, decay never fires on small corpora).
+    boundaries = [e * steps_per_epoch for e in arg.steps]
     lr = schedules.piecewise_constant(arg.base_lr, boundaries)
     tx = optax.sgd(lr, momentum=0.9, nesterov=True)
 
