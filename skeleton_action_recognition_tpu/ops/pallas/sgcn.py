@@ -18,19 +18,25 @@ Two layout tricks make it a full-rate matmul:
 
 * the joint axis is zero-padded to ``VP = roundup8(V)`` and G frames are
   grouped so ``G*VP ~ 128`` rows — the MXU's native M;
-* the per-partition contraction for one group is ONE matmul against a
-  precomputed block-diagonal adjacency ``P_k (G*VP, G*VP)`` with
-  ``P_k[(r,w),(r,v)] = A[k,v,w]``. Everything the kernel touches is
-  indexed by a leading ``k`` axis or sliced along *rows* (sublanes) at
-  group boundaries — no lane-offset slicing or lane concatenation, which
-  Mosaic on v5e cannot lower for ``C_out < 128`` lane tiles (the
-  original row-concat formulation died in ``tpu.concatenate`` with
-  ``vpad {0,64}`` operands). The G-fold block-diagonal zero padding
-  costs G x the raw contraction FLOPs but runs at ~10x the utilization.
+* the whole contraction for one group is ONE matmul against a
+  precomputed K-stacked block-diagonal adjacency
+  ``P (G*VP, K*G*VP)`` with ``P[(r,w),(k,r,v)] = A[k,v,w]``; the
+  ``zst (K*G*VP, Co)`` operand is a sublane-aligned concat of per-k
+  VMEM-scratch rows. Everything the kernel touches is indexed by a
+  leading ``k`` axis or sliced along *rows* (sublanes) at aligned group
+  boundaries — no lane-offset slicing or lane concatenation, which
+  Mosaic on v5e cannot lower for ``C_out < 128`` lane tiles (a fused
+  ``(rows, K*Co)`` z died in ``tpu.concatenate`` with ``vpad {0,64}``
+  operands). The G-fold block-diagonal zero padding costs G x the raw
+  contraction FLOPs but runs at ~10x the utilization. (A per-partition
+  variant — K smaller matmuls per group against ``(grp, grp)`` blocks —
+  measures identical end-to-end, 452 vs 455 clips/s; the K-stacked form
+  is kept for its 3x lower op count.)
 
-Backward (hand-derived, same tiling): ``dz_k = P_k^T @ g`` per group,
-``dx = sum_k dz_k @ W_k^T`` and ``dW/db`` accumulated across the
-sequential grid; ``z`` is recomputed on the MXU instead of saved.
+Backward (hand-derived, same tiling): ``dzst = P^T @ g`` per group
+(one matmul), ``dx = sum_k dz_k @ W_k^T`` and ``dW/db`` accumulated
+across the sequential grid; ``z`` is recomputed on the MXU instead of
+saved.
 
 The adjacency itself is treated as a constant (zero cotangent) — the
 fused path is only selected when ``trainable_adjacency`` is off, which
@@ -65,48 +71,51 @@ def _pick_tiles(t: int, vp: int):
 
 
 def _block_adj(a: np.ndarray, v: int, vp: int, g: int) -> np.ndarray:
-    """Per-partition block-diagonal adjacency:
-    ``P[k, (r,w), (r,v)] = A[k, v, w]`` for r in range(g)."""
+    """K-stacked block-diagonal adjacency:
+    ``P[(r,w), (k,r,v)] = A[k, v, w]`` for r in range(g) — ONE MXU
+    operand per group (``(g*vp, K*g*vp)``), so the whole per-group
+    contraction is a single matmul instead of K (the batch of
+    (128,128)@(128,Co) matmuls was latency-bound, not FLOPs-bound)."""
     k_parts = a.shape[0]
-    p = np.zeros((k_parts, g * vp, g * vp), np.float32)
+    p = np.zeros((g * vp, k_parts * g * vp), np.float32)
     at = np.zeros((k_parts, vp, vp), np.float32)
     at[:, :v, :v] = np.transpose(np.asarray(a, np.float32), (0, 2, 1))
     for k in range(k_parts):
         for r in range(g):
-            p[k, r * vp : (r + 1) * vp, r * vp : (r + 1) * vp] = at[k]
+            p[r * vp : (r + 1) * vp,
+              (k * g + r) * vp : (k * g + r + 1) * vp] = at[k]
     return p
 
 
 def _fwd_kernel(
     x_ref, w_ref, b_ref, p_ref, out_ref,
+    z_buf,
     *, t_tile: int, g: int, vp: int, k_parts: int, out_dtype,
 ):
     grp_rows = g * vp
     mm = w_ref.dtype
 
-    zs = [
-        (
+    # per-partition 1x1 conv into VMEM scratch (leading-k indexed; the
+    # z rows never leave VMEM)
+    for k in range(k_parts):
+        z_buf[k] = (
             jnp.dot(
                 x_ref[0], w_ref[k], preferred_element_type=jnp.float32
             )
             + b_ref[k]
         ).astype(mm)
-        for k in range(k_parts)
-    ]
+    # one K-stacked matmul per group; the zst concat is sublane-aligned
+    # (full-width rows at multiples of grp_rows), which Mosaic lowers —
+    # unlike the lane-offset slicing of a fused (rows, K*Co) z
     for gi in range(t_tile // g):
         lo = gi * grp_rows
-        acc = jnp.dot(
-            p_ref[0],
-            zs[0][lo : lo + grp_rows, :],
-            preferred_element_type=jnp.float32,
+        zst = jnp.concatenate(
+            [z_buf[k][lo : lo + grp_rows, :] for k in range(k_parts)],
+            axis=0,
         )
-        for k in range(1, k_parts):
-            acc = acc + jnp.dot(
-                p_ref[k],
-                zs[k][lo : lo + grp_rows, :],
-                preferred_element_type=jnp.float32,
-            )
-        out_ref[0, lo : lo + grp_rows, :] = acc.astype(out_dtype)
+        out_ref[0, lo : lo + grp_rows, :] = jnp.dot(
+            p_ref[:], zst, preferred_element_type=jnp.float32
+        ).astype(out_dtype)
 
 
 def _bwd_kernel(
@@ -121,14 +130,18 @@ def _bwd_kernel(
     grp_rows = g * vp
     mm = wt_ref.dtype
 
-    # dz_k per group: P_k^T @ g  (pt_ref[k] is P_k pre-transposed)
+    # dzst per group in ONE matmul: P^T (K*grp, grp) @ g (grp, co);
+    # the per-k rows land in dz_buf via aligned sublane slices
     for gi in range(t_tile // g):
         lo = gi * grp_rows
         gg = gout_ref[0, lo : lo + grp_rows, :].astype(mm)
+        dzst = jnp.dot(
+            pt_ref[:], gg, preferred_element_type=jnp.float32
+        ).astype(mm)
         for k in range(k_parts):
-            dz_buf[k, lo : lo + grp_rows, :] = jnp.dot(
-                pt_ref[k], gg, preferred_element_type=jnp.float32
-            ).astype(mm)
+            dz_buf[k, lo : lo + grp_rows, :] = dzst[
+                k * grp_rows : (k + 1) * grp_rows, :
+            ]
 
     @pl.when((n == 0) & (i == 0))
     def _():
@@ -268,6 +281,9 @@ def _fwd_impl(x, kernel, bias, a, v, k_parts):
         ],
         out_specs=_tile_spec(t_tile * vp, co),
         out_shape=jax.ShapeDtypeStruct((nm, t * vp, co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k_parts, t_tile * vp, co), mm),
+        ],
         interpret=_interpret(),
     )(x3, w, b3, p)
     return _unpad_joints(out, v, vp).reshape(nm, t, v, co)
@@ -286,7 +302,7 @@ def _bwd_impl(x, kernel, bias, g_out, a, v, k_parts):
     wt = jnp.transpose(
         _split_w(kernel, k_parts, co, mm), (0, 2, 1)
     )
-    pt = jnp.asarray(np.transpose(blk, (0, 2, 1)), mm)
+    pt = jnp.asarray(blk.T, mm)  # (K*grp, grp)
 
     kern = functools.partial(
         _bwd_kernel, t_tile=t_tile, g=g, vp=vp, k_parts=k_parts
