@@ -81,6 +81,12 @@ def get_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--dtype", default="float32", choices=["float32", "bfloat16"],
+        help="ResNet backbone compute dtype (params stay f32; the radar "
+        "return + STFT always run f32 — the 4*pi*d/lambda phase needs "
+        "the mantissa)",
+    )
     return parser
 
 
@@ -117,12 +123,18 @@ def main(argv=None):
         + ".Model"
     )
     config_lib.snapshot_sources(log_dir, [model_cls])
-    model = model_cls(
+    model_kwargs = dict(
         num_classes=arg.num_classes,
         num_filters=arg.num_filters,
         num_pad_frames=arg.num_pad_frames,
         use_pallas=arg.use_pallas,
     )
+    if (
+        arg.dtype == "bfloat16"
+        and "dtype" in getattr(model_cls, "__dataclass_fields__", {})
+    ):
+        model_kwargs["dtype"] = jnp.bfloat16
+    model = model_cls(**model_kwargs)
 
     datasets = {
         part: NumpyDataset(

@@ -15,7 +15,7 @@ reproduced.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -23,13 +23,18 @@ import jax.numpy as jnp
 KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
-def _bn(train: bool, name=None, scale_init=nn.initializers.ones):
+def _bn(train: bool, name=None, scale_init=nn.initializers.ones,
+        dtype=None):
+    # dtype=bfloat16 keeps the normalize pass (and the activation written
+    # back to HBM) in bf16; flax accumulates batch stats in f32 and
+    # params/running stats stay f32
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=0.9,
         epsilon=1e-5,
         name=name,
         scale_init=scale_init,
+        dtype=dtype,
     )
 
 
@@ -40,6 +45,7 @@ class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     zero_init_residual: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -51,9 +57,10 @@ class BasicBlock(nn.Module):
             padding=((1, 1), (1, 1)),
             use_bias=False,
             kernel_init=KAIMING,
+            dtype=self.dtype,
             name="conv1",
         )(x)
-        out = _bn(train, name="bn1")(out)
+        out = _bn(train, name="bn1", dtype=self.dtype)(out)
         out = nn.relu(out)
         out = nn.Conv(
             self.filters,
@@ -61,6 +68,7 @@ class BasicBlock(nn.Module):
             padding=((1, 1), (1, 1)),
             use_bias=False,
             kernel_init=KAIMING,
+            dtype=self.dtype,
             name="conv2",
         )(out)
         scale_init = (
@@ -68,7 +76,9 @@ class BasicBlock(nn.Module):
             if self.zero_init_residual
             else nn.initializers.ones
         )
-        out = _bn(train, name="bn2", scale_init=scale_init)(out)
+        out = _bn(
+            train, name="bn2", scale_init=scale_init, dtype=self.dtype
+        )(out)
 
         if self.stride != 1 or x.shape[-1] != self.filters:
             identity = nn.Conv(
@@ -77,9 +87,12 @@ class BasicBlock(nn.Module):
                 strides=(self.stride, self.stride),
                 use_bias=False,
                 kernel_init=KAIMING,
+                dtype=self.dtype,
                 name="downsample_conv",
             )(x)
-            identity = _bn(train, name="downsample_bn")(identity)
+            identity = _bn(
+                train, name="downsample_bn", dtype=self.dtype
+            )(identity)
 
         return nn.relu(out + identity)
 
@@ -92,9 +105,13 @@ class ResNet(nn.Module):
     num_filters: int = 64
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     zero_init_residual: bool = False
+    # compute dtype for convs/BN (params stay f32); e.g. jnp.bfloat16
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Conv(
             self.num_filters,
             (7, 7),
@@ -102,9 +119,10 @@ class ResNet(nn.Module):
             padding=((3, 3), (3, 3)),
             use_bias=False,
             kernel_init=KAIMING,
+            dtype=self.dtype,
             name="conv1",
         )(x)
-        x = _bn(train, name="bn1")(x)
+        x = _bn(train, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(
             x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
@@ -118,10 +136,12 @@ class ResNet(nn.Module):
                     filters,
                     stride=stride,
                     zero_init_residual=self.zero_init_residual,
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train)
 
-        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
+        # pool + logits head in f32 (logit stability; cost is tiny)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         x = nn.Dense(
             self.num_classes,
             kernel_init=nn.initializers.variance_scaling(

@@ -17,7 +17,7 @@ mirroring ``train_stft_kernel`` (``layers/virtual_radar.py:71-76``).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -113,6 +113,11 @@ class Model(nn.Module):
     train_stft_kernel: bool = False
     num_pad_frames: int = 0
     use_pallas: bool = False
+    # compute dtype for the ResNet backbone (params stay f32). The radar
+    # return + STFT stay f32 regardless: the phase term 4*pi*d/lambda is
+    # ~1e4 radians at real wavelengths — bf16's ~3 decimal digits would
+    # destroy the phase, and those ops are VPU/bandwidth-bound anyway.
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -128,5 +133,6 @@ class Model(nn.Module):
         return ResNet(
             num_classes=self.num_classes,
             num_filters=self.num_filters,
+            dtype=self.dtype,
             name="base_model",
         )(spec, train)

@@ -53,6 +53,28 @@ def stft_basis(
     return cos, sin
 
 
+def _polyphase_frames(x2, n_fft: int, hop: int):
+    """Overlapping frames ``(B, frames, n_fft)`` of ``x2 (B, T)`` built
+    from ``n_fft // hop`` shifted row-views (requires ``hop | n_fft``).
+
+    This is pure slicing + one stack: XLA's autodiff transposes it into
+    pad-and-accumulate (overlap-add), which costs about the same as the
+    forward. The conv-based formulation this replaces paid ~16x on the
+    backward: the input-gradient of a stride-16 conv is an
+    input-dilated conv whose inserted zeros XLA:TPU does not skip
+    (measured 94 ms train vs 12 ms fwd for the radar-sized STFT)."""
+    b, t = x2.shape
+    frames = (t - n_fft) // hop + 1
+    k = n_fft // hop
+    nrows = frames - 1 + k
+    need = nrows * hop
+    if need > t:
+        x2 = jnp.pad(x2, ((0, 0), (0, need - t)))
+    rows = x2[:, :need].reshape(b, nrows, hop)
+    parts = [rows[:, j : j + frames, :] for j in range(k)]
+    return jnp.stack(parts, axis=2).reshape(b, frames, n_fft)
+
+
 def _frame_matmul(x, basis, hop: int, center: bool):
     """Contract windowed bases against strided frames of ``x``.
 
@@ -72,6 +94,14 @@ def _frame_matmul(x, basis, hop: int, center: bool):
     if center:
         pad = n_fft // 2
         x2 = jnp.pad(x2, ((0, 0), (pad, pad)), mode="reflect")
+    if n_fft % hop == 0:
+        fr = _polyphase_frames(x2, n_fft, hop)
+        out = jnp.einsum(
+            "bfn,Fn->bFf", fr, basis,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out.reshape(lead + out.shape[1:])
+    # general-hop fallback: strided conv
     # (B, T, 1) conv (n_fft, 1, F) stride hop -> (B, frames, F)
     out = jax.lax.conv_general_dilated(
         x2[..., None],
