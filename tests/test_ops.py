@@ -178,3 +178,62 @@ def test_graph_conv_static_adjacency():
         np.asarray(out), np.einsum("nvc,vw->nwc", z, np.asarray(a)),
         atol=1e-5,
     )
+
+
+def test_stft_polyphase_and_conv_paths_agree():
+    """The polyphase framing (hop | n_fft, the hot path whose autodiff
+    backward is overlap-add) and the strided-conv fallback (general hop)
+    must both match a direct framed contraction, and the polyphase
+    gradient must be finite and match the conv path's."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    n_fft, t = 64, 1024
+    x = rng.normal(size=(t,)).astype(np.float32)
+    cos, sin = ops.stft_basis(n_fft)
+
+    for hop in (16, 24):  # 64 % 16 == 0 (polyphase), 64 % 24 != 0 (conv)
+        re, im = ops.stft_real(
+            jnp.asarray(x), hop, jnp.asarray(cos), jnp.asarray(sin)
+        )
+        pad = np.pad(x, n_fft // 2, mode="reflect")
+        frames = np.lib.stride_tricks.sliding_window_view(pad, n_fft)[
+            ::hop
+        ]
+        ref_re = frames @ cos.T  # (frames, F)
+        ref_im = -(frames @ sin.T)
+        assert re.shape[-1] == frames.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(re).T, ref_re, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(im).T, ref_im, atol=1e-4
+        )
+
+    # gradient of a LINEAR functional of the frames: the exact reference
+    # is overlap-add of R^T basis rows followed by the reflect-pad
+    # transpose — precisely the two transposes the polyphase autodiff
+    # must produce
+    hop = 16
+    n_frames = t // hop + 1
+    r = rng.normal(size=(n_fft, n_frames)).astype(np.float32)
+
+    def loss(xx):
+        re, _ = ops.stft_real(
+            xx, hop, jnp.asarray(cos), jnp.asarray(sin)
+        )
+        return jnp.sum(re * jnp.asarray(r))
+
+    g_poly = np.asarray(jax.grad(loss)(jnp.asarray(x)), np.float64)
+
+    # numpy reference: fold basis-weighted frame grads, then undo the
+    # reflect pad (reflected positions accumulate back into the core)
+    gpad = np.zeros(t + n_fft, np.float64)
+    contrib = cos.T.astype(np.float64) @ r.astype(np.float64)  # (n_fft, frames)
+    for f in range(n_frames):
+        gpad[f * hop : f * hop + n_fft] += contrib[:, f]
+    pad = n_fft // 2
+    g_ref = gpad[pad : pad + t].copy()
+    g_ref[1 : pad + 1] += gpad[:pad][::-1]
+    g_ref[t - pad - 1 : t - 1] += gpad[pad + t :][::-1]
+    np.testing.assert_allclose(g_poly, g_ref, rtol=1e-4, atol=1e-3)
