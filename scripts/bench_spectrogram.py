@@ -1,0 +1,96 @@
+"""Spectrogram-stack training throughput on one TPU chip.
+
+Same scan-delta methodology as the root ``bench.py`` (this image's TPU
+tunnel executes lazily; see that file's docstring). Measures the full
+train step of the flagship radar pipeline: on-device 250x upsample ->
+fused Pallas radar return (fwd + hand-derived bwd) -> polyphase STFT ->
+log-magnitude -> resize -> ResNet-18 -> Adam update.
+
+Reference point: the reference implementation feeds this model from 10
+CPU loader workers doing the 250x interpolation per sample
+(``main_spectrogram.py:94-101``, ``utils.py:134-140``) — its throughput
+is loader-bound at ~1 clip/s/worker.
+
+Prints ONE JSON line. Usage: ``python scripts/bench_spectrogram.py``.
+"""
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+BATCH = int(os.environ.get("BENCH_SPEC_BATCH", "16"))
+STEPS = 6
+
+
+def main():
+    from skeleton_action_recognition_tpu.models import spectrogram
+    from skeleton_action_recognition_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(size=(BATCH, 3, 300, 25, 2)).astype(np.float32) * 0.3
+    )
+    y = jax.nn.one_hot(
+        jnp.asarray(rng.integers(0, 60, size=BATCH)), 60
+    )
+
+    model = spectrogram.Model(
+        num_classes=60, num_pad_frames=250, use_pallas=True
+    )
+    state = create_train_state(
+        model, jax.random.key(0), x[:1], optax.adam(1e-4)
+    )
+    step = make_train_step(global_batch_size=BATCH)
+
+    def multi(k):
+        @jax.jit
+        def run(s):
+            def body(s, _):
+                s, m = step(s, x, y, False)
+                return s, m["loss"]
+
+            return jax.lax.scan(body, s, None, length=k)[1][-1]
+
+        return run
+
+    f1, fn = multi(1), multi(STEPS)
+    float(f1(state))
+    float(fn(state))
+    t0 = time.perf_counter()
+    float(f1(state))
+    d1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(fn(state))
+    dn = time.perf_counter() - t0
+    per = (dn - d1) / (STEPS - 1)
+
+    print(json.dumps({
+        "metric": "spectrogram_train_clips_per_sec_per_chip",
+        "value": round(BATCH / per, 2),
+        "unit": "clips/s",
+        "batch": BATCH,
+        "ms_per_step": round(per * 1e3, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
