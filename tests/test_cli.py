@@ -258,3 +258,23 @@ def test_main_gnn_fused_sgcn(tiny_tfrecord_dataset, tmp_path):
         mutable=[],
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spectrogram_cli_dtype_flag_plumbs_to_model():
+    """--dtype bfloat16 reaches the spectrogram model's ResNet backbone
+    (radar + STFT stay f32 by design)."""
+    import jax.numpy as jnp
+
+    from skeleton_action_recognition_tpu.utils import config as config_lib
+
+    p = main_spectrogram.get_parser()
+    arg = p.parse_args(["--dtype", "bfloat16"])
+    model_cls = config_lib.import_class(
+        "skeleton_action_recognition_tpu.models."
+        + arg.model_type.strip()
+        + ".Model"
+    )
+    fields = getattr(model_cls, "__dataclass_fields__", {})
+    assert "dtype" in fields
+    m = model_cls(num_classes=4, dtype=jnp.bfloat16)
+    assert m.dtype == jnp.bfloat16
