@@ -1,15 +1,22 @@
 """Standalone checkpoint evaluation.
 
-The reference can only evaluate inside its training loop
-(``main_gnn.py:381-410``); this evaluates any saved checkpoint on a
-TFRecord directory, with the serving predictors (stock, folded, or int8)
-and optional stream derivation.
+The reference can only evaluate inside its training loops
+(``main_gnn.py:381-410``; the spectrogram trainer cannot save at all) —
+this evaluates any saved checkpoint: GNN-family models on a TFRecord
+directory (with the serving predictors stock/folded/int8 and optional
+stream derivation), or spectrogram-family models on the ``.npy`` +
+pickle-label surface their trainer consumes.
 
 Run:
     python -m skeleton_action_recognition_tpu.cli.evaluate \
         --model stgcn --checkpoint logs/run/checkpoints \
         --test-data-path data/ntu/xview/val_data_joint \
         [--stream bone] [--predictor folded|int8|stock]
+
+    python -m skeleton_action_recognition_tpu.cli.evaluate \
+        --model spectrogram --checkpoint logs/run/checkpoints \
+        --data-path data/ntu/xview/val_data_joint.npy \
+        --label-path data/ntu/xview/val_label.pkl
 """
 
 from __future__ import annotations
@@ -37,9 +44,20 @@ def get_parser():
     parser = argparse.ArgumentParser(description="Evaluate a checkpoint")
     parser.add_argument("--model", default="stgcn")
     parser.add_argument("--checkpoint", required=True)
-    parser.add_argument("--test-data-path", required=True)
+    parser.add_argument(
+        "--test-data-path", default=None,
+        help="TFRecord directory (GNN-family models)",
+    )
+    parser.add_argument(
+        "--data-path", default=None,
+        help=".npy data file (spectrogram-family models; pairs with "
+        "--label-path, mirroring the trainer's input surface)",
+    )
+    parser.add_argument("--label-path", default=None)
     parser.add_argument("--num-classes", type=int, default=60)
     parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--num-filters", type=int, default=64)
+    parser.add_argument("--num-pad-frames", type=int, default=250)
     parser.add_argument(
         "--stream", default="joint",
         choices=["joint", "bone", "joint_motion", "bone_motion"],
@@ -53,10 +71,32 @@ def get_parser():
 
 def main(argv=None):
     arg = get_parser().parse_args(argv)
+    if (arg.test_data_path is None) == (arg.data_path is None):
+        raise SystemExit(
+            "exactly one of --test-data-path (TFRecords) or "
+            "--data-path/--label-path (.npy) is required"
+        )
+    if arg.data_path is not None and arg.label_path is None:
+        raise SystemExit("--data-path requires --label-path")
     model_cls = config_lib.import_class(
         "skeleton_action_recognition_tpu.models." + arg.model
     ).Model
-    model = model_cls(num_classes=arg.num_classes)
+    fields = getattr(model_cls, "__dataclass_fields__", {})
+    model_kwargs = {"num_classes": arg.num_classes}
+    for name, value in (
+        ("num_filters", arg.num_filters),
+        ("num_pad_frames", arg.num_pad_frames),
+        ("use_pallas", True),
+    ):
+        if name in fields:
+            model_kwargs[name] = value
+    model = model_cls(**model_kwargs)
+    if arg.predictor != "stock" and "num_pad_frames" in fields:
+        raise SystemExit(
+            "folded/int8 predictors fold the ST-GCN family's BN and "
+            "adjacency constants; use --predictor stock for "
+            "spectrogram-family models"
+        )
 
     # Evaluation is batch-sharded over all chips (the reference evaluates
     # replicated inside MirroredStrategy, ``main_gnn.py:381-410``; here any
@@ -71,13 +111,26 @@ def main(argv=None):
         if arg.batch_size % ndev:
             arg.batch_size = -(-arg.batch_size // ndev) * ndev
 
-    dataset = TFRecordDataset(
-        arg.test_data_path,
-        batch_size=arg.batch_size,
-        num_classes=arg.num_classes,
-        shuffle=False,
-        transform=stream_transform(arg.stream),
-    )
+    if arg.data_path is not None:
+        from skeleton_action_recognition_tpu.data.pipeline import (
+            NumpyDataset,
+        )
+
+        dataset = NumpyDataset(
+            arg.data_path,
+            arg.label_path,
+            batch_size=arg.batch_size,
+            num_classes=arg.num_classes,
+            shuffle=False,
+        )
+    else:
+        dataset = TFRecordDataset(
+            arg.test_data_path,
+            batch_size=arg.batch_size,
+            num_classes=arg.num_classes,
+            shuffle=False,
+            transform=stream_transform(arg.stream),
+        )
     sample, _ = next(iter(dataset.batches()))
 
     state = create_train_state(

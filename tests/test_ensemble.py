@@ -103,3 +103,59 @@ def test_evaluate_cli(tmp_path, ntu_examples):
         ])
         assert report["samples"] == 8
         assert 0.0 <= report["top1"] <= 1.0
+
+
+@pytest.mark.slow
+def test_evaluate_cli_spectrogram(tmp_path, ntu_examples):
+    """Train a tiny spectrogram run, then evaluate its checkpoint with
+    the standalone CLI on the .npy surface (the reference's spectrogram
+    stack cannot save checkpoints at all)."""
+    import pickle
+
+    from skeleton_action_recognition_tpu.cli import (
+        evaluate,
+        main_spectrogram,
+    )
+
+    rng = np.random.default_rng(3)
+    base = ntu_examples[:, :, :30]
+    for part, n in (("train", 8), ("val", 4)):
+        reps = (n + len(base) - 1) // len(base)
+        src = np.tile(base, (reps, 1, 1, 1, 1))[:n]
+        data = src + rng.normal(0, 0.01, src.shape).astype(np.float32)
+        np.save(tmp_path / f"{part}_data_joint.npy", data)
+        with open(tmp_path / f"{part}_label.pkl", "wb") as f:
+            pickle.dump(
+                ([str(i) for i in range(n)],
+                 [i % 4 for i in range(n)]), f
+            )
+
+    main_spectrogram.main([
+        "--batch-size", "1", "--num-epochs", "1", "--num-classes", "4",
+        "--num-filters", "8", "--num-pad-frames", "4",
+        "--base-lr", "1e-3",
+        "--data-path", str(tmp_path / "{}_data_joint.npy"),
+        "--label-path", str(tmp_path / "{}_label.pkl"),
+        "--log-dir", str(tmp_path / "logs"),
+    ])
+    log_dir = tmp_path / "logs"
+    ckpt = str(log_dir / os.listdir(log_dir)[0] / "checkpoints")
+
+    report = evaluate.main([
+        "--model", "spectrogram", "--checkpoint", ckpt,
+        "--data-path", str(tmp_path / "val_data_joint.npy"),
+        "--label-path", str(tmp_path / "val_label.pkl"),
+        "--num-classes", "4", "--num-filters", "8",
+        "--num-pad-frames", "4", "--batch-size", "4",
+    ])
+    assert report["samples"] == 4
+    assert 0.0 <= report["top1"] <= 1.0
+
+    # folded/int8 predictors are ST-GCN-family only
+    with pytest.raises(SystemExit):
+        evaluate.main([
+            "--model", "spectrogram", "--checkpoint", ckpt,
+            "--data-path", str(tmp_path / "val_data_joint.npy"),
+            "--label-path", str(tmp_path / "val_label.pkl"),
+            "--predictor", "folded",
+        ])
