@@ -181,6 +181,18 @@ def main():
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--workdir", default="/tmp/corpus_e2e")
     ap.add_argument("--base-lr", type=float, default=0.05)
+    ap.add_argument(
+        "--spectrogram-epochs", type=int, default=8,
+        help="also train+evaluate the spectrogram stack (VirtualRadar "
+        "-> ResNet-18) on the SAME corpus's .npy artifacts — the "
+        "class-keyed oscillation frequencies are exactly what "
+        "micro-Doppler sees; 0 disables",
+    )
+    ap.add_argument(
+        "--skip-gnn", action="store_true",
+        help="reuse the workdir's artifacts and run only the "
+        "spectrogram phase (merges into the existing report)",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -223,52 +235,104 @@ def main():
         "--notes", "corpus_e2e",
     ]
 
-    # 2) train FIRST epochs, checkpointing every epoch
-    stdout, dt = run(
-        [sys.executable, "-m",
-         "skeleton_action_recognition_tpu.cli.main_gnn",
-         "--num-epochs", str(args.epochs[0])] + common,
-        runlog,
-    )
-    report["train_phase1_seconds"] = round(dt, 1)
-    report["phase1_tail"] = stdout.strip().splitlines()[-3:]
-
-    # 3) resume to TOTAL epochs (proves checkpoint restore mid-run)
-    stdout, dt = run(
-        [sys.executable, "-m",
-         "skeleton_action_recognition_tpu.cli.main_gnn",
-         "--num-epochs", str(args.epochs[1]), "--resume"] + common,
-        runlog,
-    )
-    report["train_phase2_seconds"] = round(dt, 1)
-    resumed = [l for l in stdout.splitlines() if "resumed" in l]
-    report["resume_line"] = resumed[0] if resumed else None
-    report["phase2_tail"] = stdout.strip().splitlines()[-3:]
-
-    # 4) standalone evaluation of the final checkpoint
-    run_dir = [d for d in os.listdir(logs) if "corpus_e2e" in d][0]
-    ckpt = os.path.join(logs, run_dir, "checkpoints")
-    stdout, dt = run(
-        [sys.executable, "-m",
-         "skeleton_action_recognition_tpu.cli.evaluate",
-         "--model", "stgcn", "--checkpoint", ckpt,
-         "--test-data-path", os.path.join(xview, "val_data_joint"),
-         "--num-classes", str(NUM_CLASSES),
-         "--batch-size", str(args.batch_size)],
-        runlog,
-    )
-    eval_json = json.loads(
-        re.search(r"\{.*\}", stdout, re.S).group(0)
-    )
-    report["evaluate"] = eval_json
-    report["total_seconds"] = round(time.time() - t0, 1)
-    report["chance_top1"] = round(1.0 / NUM_CLASSES, 4)
-    report["separable_ok"] = bool(
-        eval_json["top1"] > 10.0 / NUM_CLASSES
-    )
-    report["resume_ok"] = report["resume_line"] is not None
-
     dst = os.path.join(_REPO, "runs")
+    if args.skip_gnn:
+        # merge into the prior run's report so the GNN evidence persists
+        prior = os.path.join(dst, "corpus_e2e_REPORT.json")
+        if os.path.exists(prior):
+            with open(prior) as f:
+                report = {**json.load(f), **report}
+
+    if not args.skip_gnn:
+        # 2) train FIRST epochs, checkpointing every epoch
+        stdout, dt = run(
+            [sys.executable, "-m",
+             "skeleton_action_recognition_tpu.cli.main_gnn",
+             "--num-epochs", str(args.epochs[0])] + common,
+            runlog,
+        )
+        report["train_phase1_seconds"] = round(dt, 1)
+        report["phase1_tail"] = stdout.strip().splitlines()[-3:]
+
+        # 3) resume to TOTAL epochs (proves checkpoint restore mid-run)
+        stdout, dt = run(
+            [sys.executable, "-m",
+             "skeleton_action_recognition_tpu.cli.main_gnn",
+             "--num-epochs", str(args.epochs[1]), "--resume"] + common,
+            runlog,
+        )
+        report["train_phase2_seconds"] = round(dt, 1)
+        resumed = [l for l in stdout.splitlines() if "resumed" in l]
+        report["resume_line"] = resumed[0] if resumed else None
+        report["phase2_tail"] = stdout.strip().splitlines()[-3:]
+
+        # 4) standalone evaluation of the final checkpoint
+        run_dir = [
+            d for d in os.listdir(logs)
+            if "corpus_e2e" in d and "spec" not in d
+        ][0]
+        ckpt = os.path.join(logs, run_dir, "checkpoints")
+        stdout, dt = run(
+            [sys.executable, "-m",
+             "skeleton_action_recognition_tpu.cli.evaluate",
+             "--model", "stgcn", "--checkpoint", ckpt,
+             "--test-data-path", os.path.join(xview, "val_data_joint"),
+             "--num-classes", str(NUM_CLASSES),
+             "--batch-size", str(args.batch_size)],
+            runlog,
+        )
+        eval_json = json.loads(
+            re.search(r"\{.*\}", stdout, re.S).group(0)
+        )
+        report["evaluate"] = eval_json
+        report["chance_top1"] = round(1.0 / NUM_CLASSES, 4)
+        report["separable_ok"] = bool(
+            eval_json["top1"] > 10.0 / NUM_CLASSES
+        )
+        report["resume_ok"] = report["resume_line"] is not None
+    eval_json = report.get("evaluate", {})
+
+    # 5) spectrogram stack on the SAME corpus (.npy artifacts): the
+    # class-keyed per-joint oscillation frequencies produce distinct
+    # micro-Doppler signatures, so the VirtualRadar -> ResNet-18 chain
+    # has real signal to learn (reference main_spectrogram.py workload)
+    if args.spectrogram_epochs > 0:
+        stdout, dt = run(
+            [sys.executable, "-m",
+             "skeleton_action_recognition_tpu.cli.main_spectrogram",
+             "--num-epochs", str(args.spectrogram_epochs),
+             "--num-classes", str(NUM_CLASSES),
+             "--batch-size", str(args.batch_size),
+             "--base-lr", "1e-3",
+             "--data-path", os.path.join(xview, "{}_data_joint.npy"),
+             "--label-path", os.path.join(xview, "{}_label.pkl"),
+             "--log-dir", logs, "--notes", "corpus_e2e_spec"],
+            runlog,
+        )
+        report["spectrogram_train_seconds"] = round(dt, 1)
+        report["spectrogram_tail"] = stdout.strip().splitlines()[-3:]
+
+        spec_dir = [d for d in os.listdir(logs) if "corpus_e2e_spec" in d][0]
+        stdout, dt = run(
+            [sys.executable, "-m",
+             "skeleton_action_recognition_tpu.cli.evaluate",
+             "--model", "spectrogram",
+             "--checkpoint", os.path.join(logs, spec_dir, "checkpoints"),
+             "--data-path", os.path.join(xview, "val_data_joint.npy"),
+             "--label-path", os.path.join(xview, "val_label.pkl"),
+             "--num-classes", str(NUM_CLASSES),
+             "--batch-size", str(args.batch_size)],
+            runlog,
+        )
+        spec_eval = json.loads(
+            re.search(r"\{.*\}", stdout, re.S).group(0)
+        )
+        report["spectrogram_evaluate"] = spec_eval
+        report["spectrogram_ok"] = bool(
+            spec_eval["top1"] > 3.0 / NUM_CLASSES
+        )
+
+    report["total_seconds"] = round(time.time() - t0, 1)
     os.makedirs(dst, exist_ok=True)
     with open(os.path.join(dst, "corpus_e2e_REPORT.json"), "w") as f:
         json.dump(report, f, indent=2)
@@ -288,6 +352,14 @@ def main():
         f"| checkpoint step | {eval_json['checkpoint_step']} |",
         f"| resume | {report['resume_line']} |",
         f"| total wall | {report['total_seconds']}s |",
+    ]
+    if "spectrogram_evaluate" in report:
+        se = report["spectrogram_evaluate"]
+        lines += [
+            f"| spectrogram val top-1 | {se['top1']} |",
+            f"| spectrogram val top-5 | {se['top5']} |",
+        ]
+    lines += [
         "",
         f"Repro: `python scripts/corpus_e2e.py --clips-per-class "
         f"{args.clips_per_class} --epochs {args.epochs[0]} "
