@@ -1,16 +1,35 @@
-"""Quick real-TPU smoke of the hot paths (uses the warm compile cache).
+"""Real-TPU kernel parity gate (uses the warm compile cache).
 
-For round-over-round validation on the single tunneled chip: runs the
-ST-GCN train step, the fused radar forward+backward, and the folded
-inference predictor, printing one OK line per stage. ~3-5 min with the
-persistent compile cache primed; see bench.py for the timing caveats of
-this backend.
+Round-over-round validation on the single tunneled chip. Interpret-mode
+CPU tests structurally cannot catch Mosaic lowering failures, so this
+script asserts, ON HARDWARE, numerical parity (``allclose``, not mere
+finiteness) between every Pallas kernel family and its XLA reference:
 
-Usage:  python scripts/tpu_smoke.py
+* fused radar forward + hand-derived backward vs ``radar_return_upsampled``
+* fused spatial graph-conv (sgcn) forward + grads vs the einsum oracle
+* fused BN->ReLU->tconv kernel forward + grads vs the flax-chain oracle
+* plus end-to-end sanity: one ST-GCN train step and the folded predictor
+
+Writes a machine-readable record (max abs/rel errors per stage) to the
+path given by ``--json`` (default ``SMOKE.json`` at the repo root).
+Run as the LAST act of every round; a nonzero exit means a kernel does
+not lower or does not match on the real chip.
+
+Tolerance notes: radar gradients at real wavelengths (lambda ~ 5e-4) are
+chaotic (tiny residues of hugely-cancelling phase terms — see
+``ops/pallas/radar.py`` docstring), so the backward parity check runs at
+lambda=10 where both implementations are well-conditioned; at the real
+wavelength only the forward (loose, scale-relative) and gradient
+finiteness are asserted.
+
+Usage:  python scripts/tpu_smoke.py [--json SMOKE_r03.json]
 """
 
+import argparse
+import json
 import os
 import sys
+import time
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -31,26 +50,31 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+RESULTS = {}
 
-def main():
+
+def _record(stage, ok, **stats):
+    RESULTS[stage] = {"ok": bool(ok), **stats}
+    line = ", ".join(f"{k} {v:.3g}" for k, v in stats.items())
+    print(f"{'OK' if ok else 'FAIL'} {stage}: {line}", flush=True)
+    if not ok:
+        raise AssertionError(f"parity stage failed: {stage}")
+
+
+def _err(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    abs_err = float(np.abs(a - b).max())
+    scale = float(np.abs(b).max()) or 1.0
+    return abs_err, abs_err / scale
+
+
+def check_train_step(d):
     from skeleton_action_recognition_tpu.models import export, stgcn
-    from skeleton_action_recognition_tpu.ops.pallas.radar import (
-        radar_return_fused,
-    )
-    from skeleton_action_recognition_tpu.ops.resample import (
-        pad_frames_operator,
-    )
     from skeleton_action_recognition_tpu.train import (
         create_train_state,
         make_train_step,
     )
 
-    print("devices:", jax.devices(), flush=True)
-    d = np.load(
-        "/root/reference/data/NTU_preprocessed_skeleton_examples.npy"
-    ).astype(np.float32)
-
-    # 1. ST-GCN train step
     x = jnp.asarray(np.tile(d[:, :, :32], (2, 1, 1, 1, 1)))
     y = jax.nn.one_hot(jnp.arange(8) % 60, 60)
     model = stgcn.Model(num_classes=60)
@@ -61,30 +85,225 @@ def main():
     step = jax.jit(make_train_step(8))
     state, m = step(state, x, y, False)
     loss = float(m["loss"])
-    assert np.isfinite(loss)
-    print(f"OK train step: loss {loss:.3f}", flush=True)
+    _record("train_step", np.isfinite(loss), loss=loss)
 
-    # 2. fused radar fwd + bwd
-    xr = jnp.asarray(d[:2, :, :30])
-    w = jnp.asarray(pad_frames_operator(30, 20))
-    g = jax.jit(
-        jax.grad(
-            lambda x: radar_return_fused(
-                x, w, jnp.zeros(3), jnp.asarray(5e-4), tile=128
-            )[0].sum()
-        )
-    )(xr)
-    assert np.isfinite(np.asarray(g)).all()
-    print("OK fused radar fwd+bwd: grads finite", flush=True)
-
-    # 3. folded inference
     fused = export.fused_stgcn_predictor(
         jax.device_get(state.params), jax.device_get(state.batch_stats)
     )
     logits = np.asarray(fused(x))
-    assert np.isfinite(logits).all()
-    print(f"OK folded inference: logits {logits.shape}", flush=True)
-    print("TPU SMOKE PASSED", flush=True)
+    _record(
+        "folded_inference",
+        np.isfinite(logits).all(),
+        logit_absmax=float(np.abs(logits).max()),
+    )
+
+
+def check_radar(d):
+    from skeleton_action_recognition_tpu.ops.pallas.radar import (
+        radar_return_fused,
+    )
+    from skeleton_action_recognition_tpu.ops.resample import (
+        pad_frames_operator,
+    )
+    from skeleton_action_recognition_tpu.ops.virtual_radar import (
+        radar_return_upsampled,
+    )
+
+    x = jnp.asarray(d[:2, :, :30])
+    w = jnp.asarray(pad_frames_operator(30, 20))  # T_out = 600
+    loc = jnp.zeros(3)
+
+    # forward at the real wavelength (scale-relative: f32 phase jitter
+    # is amplified by 4*pi/lambda)
+    lam = jnp.asarray(5e-4)
+    re_f, im_f = jax.jit(
+        lambda x: radar_return_fused(x, w, loc, lam, tile=128)
+    )(x)
+    re_x, im_x = jax.jit(
+        lambda x: radar_return_upsampled(x, w, loc, lam)
+    )(x)
+    scale = float(jnp.abs(re_x).max())
+    a_re, r_re = _err(re_f, re_x)
+    a_im, r_im = _err(im_f, im_x)
+    _record(
+        "radar_fwd@lam5e-4",
+        a_re <= 2e-3 * scale and a_im <= 2e-3 * scale,
+        rel_re=r_re, rel_im=r_im,
+    )
+
+    # backward parity in the well-conditioned regime
+    lam_b = jnp.asarray(10.0)
+
+    def loss_f(x, lam_):
+        re, im = radar_return_fused(x, w, loc, lam_, tile=128)
+        return jnp.sum(re * re + im * im)
+
+    def loss_x(x, lam_):
+        re, im = radar_return_upsampled(x, w, loc, lam_)
+        return jnp.sum(re * re + im * im)
+
+    gx_f, gl_f = jax.jit(jax.grad(loss_f, argnums=(0, 1)))(x, lam_b)
+    gx_x, gl_x = jax.jit(jax.grad(loss_x, argnums=(0, 1)))(x, lam_b)
+    gs = float(jnp.abs(gx_x).max())
+    a_gx, _ = _err(gx_f, gx_x)
+    _, r_gl = _err(gl_f, gl_x)
+    _record(
+        "radar_bwd@lam10",
+        a_gx <= 1e-2 * gs and r_gl <= 1e-2,
+        rel_gx=a_gx / gs, rel_glam=r_gl,
+    )
+
+    # real-wavelength backward: finite (parity is chaotic there)
+    g = jax.jit(jax.grad(loss_f))(x, lam)
+    _record(
+        "radar_bwd@lam5e-4_finite",
+        np.isfinite(np.asarray(g)).all(),
+        absmax=float(jnp.abs(g).max()),
+    )
+
+
+def check_sgcn():
+    from skeleton_action_recognition_tpu.graphs.ntu_rgb_d import Graph
+    from skeleton_action_recognition_tpu.ops.pallas.sgcn import (
+        make_fused_graph_conv,
+    )
+
+    rng = np.random.default_rng(1)
+    nm, t, v, c_in, co, k = 8, 64, 25, 64, 64, 3
+    a = Graph("spatial").A.astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(nm, t, v, c_in)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(c_in, k * co)).astype(np.float32) * 0.1
+    )
+    b = jnp.asarray(rng.normal(size=(k * co,)).astype(np.float32) * 0.1)
+
+    @jax.default_matmul_precision("highest")
+    def ref(x_, w_, b_):
+        z = (x_ @ w_ + b_).reshape(x_.shape[:-1] + (k, co))
+        return jnp.einsum("ntvko,kvw->ntwo", z, jnp.asarray(a))
+
+    fgc = make_fused_graph_conv(a, v)
+    o_ref = jax.jit(ref)(x, w, b)
+    o_ker = jax.jit(fgc)(x, w, b)
+    a_f, r_f = _err(o_ker, o_ref)
+    _record("sgcn_fwd", r_f <= 1e-3, rel=r_f, abs=a_f)
+
+    g0 = jax.jit(
+        jax.grad(lambda s: jnp.sum(jnp.sin(ref(*s))))
+    )((x, w, b))
+    g1 = jax.jit(
+        jax.grad(lambda s: jnp.sum(jnp.sin(fgc(*s))))
+    )((x, w, b))
+    worst = 0.0
+    for p0, p1 in zip(g0, g1):
+        _, r = _err(p1, p0)
+        worst = max(worst, r)
+    _record("sgcn_bwd", worst <= 2e-3, rel_worst=worst)
+
+
+def check_tconv():
+    from skeleton_action_recognition_tpu.ops.pallas.tconv import (
+        affine_relu_tconv,
+    )
+
+    rng = np.random.default_rng(3)
+    nm, t, v, c = 4, 64, 25, 64
+    s = jnp.asarray(rng.normal(size=(nm, t, v, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    shift = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.3)
+    kk = jnp.asarray(
+        rng.normal(size=(9, 1, c, c)).astype(np.float32) * 0.1
+    )
+    b = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+
+    @jax.default_matmul_precision("highest")
+    def oracle(s, scale, shift, k_, b_):
+        h = jnp.maximum(s * scale + shift, 0.0)
+        u = jax.lax.conv_general_dilated(
+            h, k_, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_
+        return u, jnp.sum(u, axis=(0, 1, 2)), jnp.sum(u * u, axis=(0, 1, 2))
+
+    u0, s20, ss20 = jax.jit(oracle)(s, scale, shift, kk, b)
+    u1, s21, ss21 = jax.jit(
+        lambda *a: affine_relu_tconv(*a, v, 9)
+    )(s, scale, shift, kk, b)
+    _, r_u = _err(u1, u0)
+    _, r_s2 = _err(s21, s20)
+    _, r_ss2 = _err(ss21, ss20)
+    _record(
+        "tconv_fwd",
+        r_u <= 1e-3 and r_s2 <= 1e-3 and r_ss2 <= 1e-3,
+        rel_u=r_u, rel_sum=r_s2, rel_sumsq=r_ss2,
+    )
+
+    def loss(fn, args):
+        u, s2, ss2 = fn(*args)
+        return (
+            jnp.sum(jnp.sin(u)) + jnp.sum(s2 * 0.1) + jnp.sum(ss2 * 0.01)
+        )
+
+    g0 = jax.jit(
+        jax.grad(lambda a: loss(oracle, a))
+    )((s, scale, shift, kk, b))
+    g1 = jax.jit(
+        jax.grad(
+            lambda a: loss(lambda *a_: affine_relu_tconv(*a_, v, 9), a)
+        )
+    )((s, scale, shift, kk, b))
+    worst = 0.0
+    for p0, p1 in zip(g0, g1):
+        _, r = _err(p1, p0)
+        worst = max(worst, r)
+    _record("tconv_bwd", worst <= 2e-3, rel_worst=worst)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--json",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SMOKE.json",
+        ),
+    )
+    args = ap.parse_args()
+
+    print("devices:", jax.devices(), flush=True)
+    d = np.load(
+        "/root/reference/data/NTU_preprocessed_skeleton_examples.npy"
+    ).astype(np.float32)
+
+    t0 = time.time()
+    failed = None
+    for fn in (
+        lambda: check_train_step(d),
+        lambda: check_radar(d),
+        check_sgcn,
+        check_tconv,
+    ):
+        try:
+            fn()
+        except Exception as e:  # record and keep going: one bad kernel
+            failed = failed or str(e)
+            print(f"FAIL: {e}", flush=True)
+
+    out = {
+        "ok": failed is None,
+        "backend": jax.default_backend(),
+        "elapsed_s": round(time.time() - t0, 1),
+        "stages": RESULTS,
+        "error": failed,
+    }
+    with open(args.json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(
+        ("TPU SMOKE PASSED" if failed is None else "TPU SMOKE FAILED")
+        + f" -> {args.json}",
+        flush=True,
+    )
+    sys.exit(0 if failed is None else 1)
 
 
 if __name__ == "__main__":

@@ -82,6 +82,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
+        "--profile-dir", default="",
+        help="write a jax.profiler trace of one train step here "
+        "(the reference's add_graph/trace analogue)",
+    )
+    parser.add_argument(
         "--dtype", default="float32", choices=["float32", "bfloat16"],
         help="ResNet backbone compute dtype (params stay f32; the radar "
         "return + STFT always run f32 — the 4*pi*d/lambda phase needs "
@@ -187,6 +192,13 @@ def main(argv=None):
 
     writer = tb_writer.SummaryWriter(log_dir)
 
+    if arg.profile_dir:
+        xb, yb = next(iter(datasets["train"].batches()))
+        xs, ys = dp.shard_host_batch(xb, yb)
+        with jax.profiler.trace(arg.profile_dir):
+            state, _ = train_step(state, xs, ys, False, False)
+        print(f"profiler trace written to {arg.profile_dir}")
+
     for epoch in range(start_epoch, arg.num_epochs):
         print(f"Epoch {epoch + 1}/{arg.num_epochs}")
         train_lambda = epoch > arg.lambda_train_epoch
@@ -196,15 +208,33 @@ def main(argv=None):
             acc_m = metrics_lib.Accuracy()
             cm = metrics_lib.ConfusionMatrix(arg.num_classes)
             t0 = time.time()
-            for i, (xb, yb) in enumerate(datasets[phase].batches()):
-                if phase == "train":
-                    xs, ys = dp.shard_batch(xb, yb)
+            if phase == "train":
+                # defer metric materialization to epoch end — a host
+                # fetch per step serializes (and on lazily-executing
+                # backends, replays) the device pipeline; mirrors the
+                # GNN trainer's pattern. TB scalars written afterwards
+                # are value-identical.
+                pending = []
+                for xb, yb in datasets[phase].batches():
+                    xs, ys = dp.shard_host_batch(xb, yb)
                     state, m = train_step(
                         state, xs, ys, train_lambda, train_loc
                     )
+                    pending.append(m)
+                for i, m in enumerate(jax.device_get(pending)):
                     loss_m.update(float(m["loss"]))
                     acc_m.update(int(m["correct"]), int(m["count"]))
-                else:
+                    step_idx = epoch * len(datasets[phase]) + i
+                    writer.add_scalar(
+                        f"{phase}_cross_entropy_loss",
+                        loss_m.result(),
+                        step_idx,
+                    )
+                    writer.add_scalar(
+                        f"{phase}_acc", acc_m.result(), step_idx
+                    )
+            else:
+                for i, (xb, yb) in enumerate(datasets[phase].batches()):
                     n = len(xb)
                     if n < global_batch:
                         # pad the final partial batch so the sharded eval
@@ -230,15 +260,15 @@ def main(argv=None):
                     )
                     loss_m.update(float(ce.mean()), len(labels))
                     cm.update(labels, preds)
-                step_idx = epoch * len(datasets[phase]) + i
-                writer.add_scalar(
-                    f"{phase}_cross_entropy_loss",
-                    loss_m.result(),
-                    step_idx,
-                )
-                writer.add_scalar(
-                    f"{phase}_acc", acc_m.result(), step_idx
-                )
+                    step_idx = epoch * len(datasets[phase]) + i
+                    writer.add_scalar(
+                        f"{phase}_cross_entropy_loss",
+                        loss_m.result(),
+                        step_idx,
+                    )
+                    writer.add_scalar(
+                        f"{phase}_acc", acc_m.result(), step_idx
+                    )
             if phase == "val":
                 png, h, w = confusion_lib.confusion_matrix_png(
                     cm.result()
@@ -252,10 +282,11 @@ def main(argv=None):
                 epoch,
             )
             writer.add_scalar(f"{phase}_epoch_acc", acc_m.result(), epoch)
+            dt = time.time() - t0
             print(
                 f"{phase} Loss: {loss_m.result():.4f} "
                 f"Acc: {acc_m.result():.4f} "
-                f"({time.time() - t0:.1f}s)"
+                f"({dt:.1f}s, {acc_m.count / max(dt, 1e-9):.1f} clips/s)"
             )
         manager.save(epoch, jax.device_get(state), {"epoch": epoch})
     writer.close()

@@ -49,72 +49,22 @@ from skeleton_action_recognition_tpu.graphs.ntu_rgb_d import RADAR_EDGES
 
 _TILE = 512
 
-# Truncation threshold for banding the resampling operator. The
-# smooth+cubic-spline operator's rows have compact support (gaussian
-# tails + the not-a-knot spline's exponentially-decaying Green's
-# function): at 1e-11 relative, a 512-row tile touches <= ~50 of the 300
-# input columns. Contracting only that band cuts the kernel's f32 matmul
-# FLOPs ~6x; the dropped entries perturb interpolated positions by
-# <~1e-9 m, i.e. <~1e-4 rad of round-trip phase at lambda = 5e-4.
-_BAND_RELTOL = 1e-11
 
-
-def _band_operator(wp: np.ndarray, tile: int):
-    """Per-tile banding of the padded operator ``wp (t_pad, t_in)``.
-
-    Returns ``(w_bands (num_tiles, tile, band), starts (num_tiles,))``
-    with every start a multiple of 8 (sublane alignment for the
-    dynamic-offset feature slice) and one shared static ``band`` width.
-    Falls back to the full width (starts all 0) when the support spans
-    the whole input — in which case banding IS the dense contraction.
-    """
-    t_pad, t_in = wp.shape
-    num_tiles = t_pad // tile
-    gmax = float(np.abs(wp).max()) or 1.0
-    spans = []
-    for j in range(num_tiles):
-        blk = wp[j * tile : (j + 1) * tile]
-        nz = np.nonzero(np.abs(blk).max(0) > _BAND_RELTOL * gmax)[0]
-        if len(nz) == 0:
-            spans.append((0, 1))
-        else:
-            s = int(nz[0]) // 8 * 8
-            spans.append((s, int(nz[-1]) - s + 1))
-    band = -(-max(w for _, w in spans) // 8) * 8
-    if band >= t_in:
-        band = t_in
-    starts = np.asarray(
-        [min(s, t_in - band) for s, _ in spans], np.int32
-    )
-    w_bands = np.stack(
-        [
-            wp[j * tile : (j + 1) * tile, starts[j] : starts[j] + band]
-            for j in range(num_tiles)
-        ]
-    )
-    return w_bands, starts
-
-
-def _radar_kernel(lam_ref, loc_ref, s_ref, w_ref, feat_ref, c_ref,
-                  re_ref, im_ref):
+def _radar_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref, re_ref, im_ref):
     """One (sample, time-tile) grid step.
 
-    Refs: ``lam_ref`` (1,1), ``loc_ref`` (1,3), and ``s_ref``
-    (num_tiles,) band starts in SMEM; ``w_ref`` (1, TILE, BAND) banded
-    operator rows for this tile; ``feat_ref`` (1, T_in, 6*EM) gathered
-    endpoints laid out as [src_x | src_y | src_z | dst_x | dst_y |
-    dst_z] blocks of EM columns; ``c_ref`` (1, EM) squared mean bone
-    lengths; outputs (1, TILE).
+    Refs: ``lam_ref`` (1,1) and ``loc_ref`` (1,3) in SMEM; ``w_ref``
+    (TILE, T_in); ``feat_ref`` (1, T_in, 6*EM) gathered endpoints laid out
+    as [src_x | src_y | src_z | dst_x | dst_y | dst_z] blocks of EM
+    columns; ``c_ref`` (1, EM) squared mean bone lengths; outputs
+    (1, TILE).
     """
     em = c_ref.shape[-1]
-    band = w_ref.shape[-1]
     lam = lam_ref[0, 0]
     lx, ly, lz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
-    s = s_ref[pl.program_id(1)]
 
     data = jnp.dot(
-        w_ref[0], feat_ref[0, pl.ds(s, band), :],
-        preferred_element_type=jnp.float32,
+        w_ref[:], feat_ref[0], preferred_element_type=jnp.float32
     )  # (TILE, 6*EM)
     c_row = c_ref[0, 0]  # (EM,)
     sx, sy, sz = data[:, :em], data[:, em : 2 * em], data[:, 2 * em : 3 * em]
@@ -193,31 +143,27 @@ def _bone_length_mean_sq(x_raw, pad_operator, src_idx, dst_idx, tile):
     return (total / t_out) ** 2  # (N, E, M)
 
 
-def _radar_bwd_kernel(lam_ref, loc_ref, s_ref, w_ref, feat_ref, c_ref,
+def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref,
                       gre_ref, gim_ref,
                       dfeat_ref, dc_ref, dloc_ref, dlam_ref):
     """Hand-derived backward of :func:`_radar_kernel`.
 
     Recomputes the forward intermediates for one (sample, time-tile) grid
     step, differentiates the backscatter/phase math on the VPU, and emits
-    one MXU matmul (``dfeat[band] += W_band^T @ g_data``, a
-    dynamic-offset accumulate at the tile's band rows). Scalar/row
+    one MXU matmul (``dfeat += W_tile^T @ g_data``). Scalar/row
     accumulators (``dc``, ``dloc``, ``dlam``) rely on the TPU grid
     executing sequentially; the resampling operator's cotangent is zero
     by contract.
     """
     i, j = pl.program_id(0), pl.program_id(1)
     em = c_ref.shape[-1]
-    band = w_ref.shape[-1]
     lam = lam_ref[0, 0]
     lx, ly, lz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
     k = 4.0 * np.pi / lam
-    s = s_ref[j]
 
     # ---- recompute forward intermediates ----
     data = jnp.dot(
-        w_ref[0], feat_ref[0, pl.ds(s, band), :],
-        preferred_element_type=jnp.float32,
+        w_ref[:], feat_ref[0], preferred_element_type=jnp.float32
     )
     sx, sy, sz = data[:, :em], data[:, em:2*em], data[:, 2*em:3*em]
     dx, dy, dz = data[:, 3*em:4*em], data[:, 4*em:5*em], data[:, 5*em:6*em]
@@ -272,8 +218,8 @@ def _radar_bwd_kernel(lam_ref, loc_ref, s_ref, w_ref, feat_ref, c_ref,
     )  # (TILE, 6*EM)
 
     dfeat_tile = jnp.dot(
-        w_ref[0].T, g_data, preferred_element_type=jnp.float32
-    )  # (BAND, F)
+        w_ref[:].T, g_data, preferred_element_type=jnp.float32
+    )  # (T_in, F)
 
     @pl.when(j == 0)
     def _():
@@ -287,9 +233,7 @@ def _radar_bwd_kernel(lam_ref, loc_ref, s_ref, w_ref, feat_ref, c_ref,
         dloc_ref[0, 2] = 0.0
         dlam_ref[0, 0] = 0.0
 
-    dfeat_ref[0, pl.ds(s, band), :] = (
-        dfeat_ref[0, pl.ds(s, band), :] + dfeat_tile
-    )
+    dfeat_ref[0] += dfeat_tile
     dc_ref[0, 0] += jnp.sum(g_c, axis=0)
     dloc_ref[0, 0] += jnp.sum(-g_rx + g_ax)
     dloc_ref[0, 1] += jnp.sum(-g_ry + g_ay)
@@ -297,29 +241,27 @@ def _radar_bwd_kernel(lam_ref, loc_ref, s_ref, w_ref, feat_ref, c_ref,
     dlam_ref[0, 0] += (-k / lam) * jnp.sum(g_phase * dist)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _kernel_op(w_bands, feat, c, loc, lam, tile, starts):
-    """The pallas-kernel boundary: banded operator + gathered features +
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _kernel_op(w, feat, c, loc, lam, tile):
+    """The pallas-kernel boundary: padded operator + gathered features +
     bone stats -> padded complex signal. ``custom_vjp`` with a hand-
     derived Pallas backward.
 
-    Gradient contract: ``w_bands`` (the banded resampling operator, a
-    precomputed scipy constant) gets a ZERO cotangent — callers wrap it
-    in ``lax.stop_gradient``; all trainable quantities flow through
-    ``feat``, ``c``, ``loc``, ``lam``. ``starts`` is a static tuple of
-    8-aligned band offsets (one per tile).
+    Gradient contract: ``w`` (the resampling operator, a precomputed scipy
+    constant) gets a ZERO cotangent — callers wrap it in
+    ``lax.stop_gradient``; all trainable quantities flow through ``feat``,
+    ``c``, ``loc``, ``lam``.
     """
-    return _kernel_fwd_impl(w_bands, feat, c, loc, lam, tile, starts)
+    return _kernel_fwd_impl(w, feat, c, loc, lam, tile)
 
 
-def _kernel_fwd_impl(w_bands, feat, c, loc, lam, tile, starts):
+def _kernel_fwd_impl(w, feat, c, loc, lam, tile):
     n, t_in, f = feat.shape
     em = f // 6
-    num_tiles, _, band = w_bands.shape
-    t_pad = num_tiles * tile
+    t_pad = w.shape[0]
+    num_tiles = t_pad // tile
     lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
     loc2 = jnp.asarray(loc, jnp.float32).reshape(1, 3)
-    s_arr = jnp.asarray(starts, jnp.int32)
     interpret = jax.default_backend() == "cpu"
     re, im = pl.pallas_call(
         _radar_kernel,
@@ -329,9 +271,7 @@ def _kernel_fwd_impl(w_bands, feat, c, loc, lam, tile, starts):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((num_tiles,), lambda i, j: (0,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tile, band), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((tile, t_in), lambda i, j: (j, 0)),
             pl.BlockSpec((1, t_in, 6 * em), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
         ],
@@ -344,24 +284,24 @@ def _kernel_fwd_impl(w_bands, feat, c, loc, lam, tile, starts):
             jax.ShapeDtypeStruct((n, num_tiles, 1, tile), jnp.float32),
         ],
         interpret=interpret,
-    )(lam2, loc2, s_arr, w_bands, feat, c.reshape(n, 1, em))
+    )(lam2, loc2, w, feat, c.reshape(n, 1, em))
     return re.reshape(n, t_pad), im.reshape(n, t_pad)
 
 
-def _kernel_vjp_fwd(w_bands, feat, c, loc, lam, tile, starts):
-    out = _kernel_fwd_impl(w_bands, feat, c, loc, lam, tile, starts)
-    return out, (w_bands, feat, c, loc, lam)
+def _kernel_vjp_fwd(w, feat, c, loc, lam, tile):
+    out = _kernel_fwd_impl(w, feat, c, loc, lam, tile)
+    return out, (w, feat, c, loc, lam)
 
 
-def _kernel_vjp_bwd(tile, starts, residuals, g):
-    w_bands, feat, c, loc, lam = residuals
+def _kernel_vjp_bwd(tile, residuals, g):
+    w, feat, c, loc, lam = residuals
     gre, gim = g
     n, t_in, f = feat.shape
     em = f // 6
-    num_tiles, _, band = w_bands.shape
+    t_pad = w.shape[0]
+    num_tiles = t_pad // tile
     lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
     loc2 = jnp.asarray(loc, jnp.float32).reshape(1, 3)
-    s_arr = jnp.asarray(starts, jnp.int32)
     interpret = jax.default_backend() == "cpu"
     dfeat, dc, dloc, dlam = pl.pallas_call(
         _radar_bwd_kernel,
@@ -371,9 +311,7 @@ def _kernel_vjp_bwd(tile, starts, residuals, g):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((num_tiles,), lambda i, j: (0,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tile, band), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((tile, t_in), lambda i, j: (j, 0)),
             pl.BlockSpec((1, t_in, 6 * em), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, 1, tile), lambda i, j: (i, j, 0, 0)),
@@ -397,12 +335,12 @@ def _kernel_vjp_bwd(tile, starts, residuals, g):
         ],
         interpret=interpret,
     )(
-        lam2, loc2, s_arr, w_bands, feat, c.reshape(n, 1, em),
+        lam2, loc2, w, feat, c.reshape(n, 1, em),
         gre.reshape(n, num_tiles, 1, tile),
         gim.reshape(n, num_tiles, 1, tile),
     )
     return (
-        jnp.zeros_like(w_bands),  # resampling op: constant by contract
+        jnp.zeros_like(w),  # resampling operator: constant by contract
         dfeat,
         dc.reshape(c.shape),
         dloc.reshape(np.shape(loc)),
@@ -424,17 +362,12 @@ def _radar_fused_impl(x_raw, pad_operator, radar_location, wavelength,
     feat = _gather_features(x_raw, src_idx, dst_idx)
     c = _bone_length_mean_sq(x_raw, pad_operator, src_idx, dst_idx, tile)
 
-    # band the (constant, host-side) operator: per-tile compact support
-    wp = np.pad(
-        np.asarray(pad_operator, np.float32),
-        ((0, t_pad - t_out), (0, 0)),
+    w = lax.stop_gradient(
+        jnp.pad(pad_operator, ((0, t_pad - t_out), (0, 0)))
     )
-    w_bands_np, starts_np = _band_operator(wp, tile)
-    w_bands = lax.stop_gradient(jnp.asarray(w_bands_np))
     re, im = _kernel_op(
-        w_bands, feat, c, jnp.asarray(radar_location, jnp.float32),
+        w, feat, c, jnp.asarray(radar_location, jnp.float32),
         jnp.asarray(wavelength, jnp.float32), tile,
-        tuple(int(s) for s in starts_np),
     )
     return re[:, :t_out], im[:, :t_out]
 

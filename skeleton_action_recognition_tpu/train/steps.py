@@ -144,11 +144,14 @@ def make_radar_train_step(global_batch_size: int):
 
         labels = jnp.argmax(y, axis=-1)
         preds = jnp.argmax(logits, axis=-1)
+        # NB: no per-sample tensors (e.g. preds) in the metrics — the
+        # data-parallel wrapper replicates metric outputs, which would
+        # turn a per-sample entry into an all-gather every step; the
+        # train phase only ever consumes the summed scalars.
         metrics = {
             "loss": loss,
             "correct": jnp.sum(preds == labels),
             "count": jnp.asarray(x.shape[0], jnp.int32),
-            "preds": preds,
         }
         return state, metrics
 
