@@ -182,11 +182,16 @@ def check_sgcn():
         z = (x_ @ w_ + b_).reshape(x_.shape[:-1] + (k, co))
         return jnp.einsum("ntvko,kvw->ntwo", z, jnp.asarray(a))
 
+    # Tolerance: the sgcn/tconv kernels deliberately run their f32 dots
+    # at the MXU's DEFAULT precision (one bf16 pass, rel ~3e-3) — the
+    # same as XLA's own f32 default on TPU, and the bench path is bf16
+    # throughout anyway. Exact-f32 parity is pinned by the CPU interpret
+    # tests; here the bound is the bf16-pass noise floor.
     fgc = make_fused_graph_conv(a, v)
     o_ref = jax.jit(ref)(x, w, b)
     o_ker = jax.jit(fgc)(x, w, b)
     a_f, r_f = _err(o_ker, o_ref)
-    _record("sgcn_fwd", r_f <= 1e-3, rel=r_f, abs=a_f)
+    _record("sgcn_fwd", r_f <= 1e-2, rel=r_f, abs=a_f)
 
     g0 = jax.jit(
         jax.grad(lambda s: jnp.sum(jnp.sin(ref(*s))))
@@ -198,7 +203,7 @@ def check_sgcn():
     for p0, p1 in zip(g0, g1):
         _, r = _err(p1, p0)
         worst = max(worst, r)
-    _record("sgcn_bwd", worst <= 2e-3, rel_worst=worst)
+    _record("sgcn_bwd", worst <= 2e-2, rel_worst=worst)
 
 
 def check_tconv():
@@ -234,7 +239,7 @@ def check_tconv():
     _, r_ss2 = _err(ss21, ss20)
     _record(
         "tconv_fwd",
-        r_u <= 1e-3 and r_s2 <= 1e-3 and r_ss2 <= 1e-3,
+        r_u <= 1e-2 and r_s2 <= 1e-2 and r_ss2 <= 1e-2,
         rel_u=r_u, rel_sum=r_s2, rel_sumsq=r_ss2,
     )
 
@@ -256,7 +261,7 @@ def check_tconv():
     for p0, p1 in zip(g0, g1):
         _, r = _err(p1, p0)
         worst = max(worst, r)
-    _record("tconv_bwd", worst <= 2e-3, rel_worst=worst)
+    _record("tconv_bwd", worst <= 2e-2, rel_worst=worst)
 
 
 def main():

@@ -71,6 +71,13 @@ def get_parser() -> argparse.ArgumentParser:
         "--loc-step", type=float, default=1e-2,
         help="per-step radar_loc move in meters once unfrozen",
     )
+    parser.add_argument(
+        "--wavelength", type=float, default=None,
+        help="initial radar wavelength (model default 5e-4; reference "
+        "layers/virtual_radar.py:36-45). With --lambda-train-epoch the "
+        "trainer unfreezes radar_lambda and its per-epoch value is "
+        "printed and logged to TB",
+    )
     # TPU-native extras
     parser.add_argument("--num-pad-frames", type=int, default=250)
     parser.add_argument(
@@ -134,6 +141,8 @@ def main(argv=None):
         num_pad_frames=arg.num_pad_frames,
         use_pallas=arg.use_pallas,
     )
+    if arg.wavelength is not None:
+        model_kwargs["wavelength"] = arg.wavelength
     if (
         arg.dtype == "bfloat16"
         and "dtype" in getattr(model_cls, "__dataclass_fields__", {})
@@ -288,9 +297,33 @@ def main(argv=None):
                 f"Acc: {acc_m.result():.4f} "
                 f"({dt:.1f}s, {acc_m.count / max(dt, 1e-9):.1f} clips/s)"
             )
+        # track the learnable radar physics parameters (one tiny fetch
+        # per epoch): the staged-unfreeze schedule is this framework's
+        # headline capability, so its effect must be observable
+        lam_val = _find_leaf(state.params, "radar_lambda")
+        if lam_val is not None:
+            lam_f = float(np.asarray(jax.device_get(lam_val)))
+            writer.add_scalar("radar_lambda", lam_f, epoch)
+            print(f"radar_lambda: {lam_f:.6g}")
         manager.save(epoch, jax.device_get(state), {"epoch": epoch})
     writer.close()
     manager.close()
+
+
+def _find_leaf(tree, needle: str):
+    """First leaf whose path contains ``needle`` (None if absent)."""
+    found = []
+
+    def visit(path, leaf):
+        if any(
+            needle in str(getattr(p, "key", getattr(p, "name", "")))
+            for p in path
+        ):
+            found.append(leaf)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, tree)
+    return found[0] if found else None
 
 
 if __name__ == "__main__":

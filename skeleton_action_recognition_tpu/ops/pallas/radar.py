@@ -63,8 +63,14 @@ def _radar_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref, re_ref, im_ref):
     lam = lam_ref[0, 0]
     lx, ly, lz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
 
+    # HIGHEST: the MXU's default f32 matmul is a single bf16 pass
+    # (measured rel error ~3e-3), and position error is amplified by the
+    # 4*pi/lambda phase factor into fully-decorrelated returns at radar
+    # wavelengths. The f32-exact matmul costs more MXU passes but this
+    # kernel is transcendental-bound on the VPU, not matmul-bound.
     data = jnp.dot(
-        w_ref[:], feat_ref[0], preferred_element_type=jnp.float32
+        w_ref[:], feat_ref[0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (TILE, 6*EM)
     c_row = c_ref[0, 0]  # (EM,)
     sx, sy, sz = data[:, :em], data[:, em : 2 * em], data[:, 2 * em : 3 * em]
@@ -162,8 +168,10 @@ def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref,
     k = 4.0 * np.pi / lam
 
     # ---- recompute forward intermediates ----
+    # HIGHEST for the same phase-precision reason as the forward kernel
     data = jnp.dot(
-        w_ref[:], feat_ref[0], preferred_element_type=jnp.float32
+        w_ref[:], feat_ref[0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     sx, sy, sz = data[:, :em], data[:, em:2*em], data[:, 2*em:3*em]
     dx, dy, dz = data[:, 3*em:4*em], data[:, 4*em:5*em], data[:, 5*em:6*em]
@@ -218,7 +226,8 @@ def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref,
     )  # (TILE, 6*EM)
 
     dfeat_tile = jnp.dot(
-        w_ref[:].T, g_data, preferred_element_type=jnp.float32
+        w_ref[:].T, g_data, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (T_in, F)
 
     @pl.when(j == 0)
