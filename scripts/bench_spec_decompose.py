@@ -1,0 +1,145 @@
+"""Spectrogram-stack train-step cost decomposition on one TPU chip.
+
+Scan-delta timings (see ``bench.py`` methodology) of the pipeline
+stages at the bench shape (B=16, T_in=300, pad 250x -> T_out=75000):
+
+* ``radar_fwd``      — fused Pallas radar return, forward only
+* ``radar_train``    — radar return fwd + hand-derived bwd (grad wrt x)
+* ``spec_fwd``       — radar + STFT + log-mag (the full VirtualRadar op)
+* ``spec_train``     — same, fwd + bwd
+* ``model_train``    — the full train step (radar+STFT+resize+ResNet+Adam)
+
+Prints one JSON line per stage. Usage:
+``python scripts/bench_spec_decompose.py [stage ...]``.
+"""
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 16
+T_IN = 300
+PAD = 250
+STEPS = 6
+
+
+def timeit(name, fn, *args):
+    def multi(k):
+        @jax.jit
+        def run(*a):
+            def body(c, _):
+                return c + fn(*a, c), None
+            return jax.lax.scan(body, jnp.float32(0), None, length=k)[0]
+        return run
+
+    f1, fn_ = multi(1), multi(STEPS)
+    float(f1(*args)); float(fn_(*args))
+    t0 = time.perf_counter(); float(f1(*args)); d1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(fn_(*args)); dn = time.perf_counter() - t0
+    ms = (dn - d1) / (STEPS - 1) * 1e3
+    print(json.dumps({name: {"ms": round(ms, 2)}}), flush=True)
+    return ms
+
+
+def main():
+    from skeleton_action_recognition_tpu.models import spectrogram
+    from skeleton_action_recognition_tpu.ops.pallas.radar import (
+        radar_return_fused,
+    )
+    from skeleton_action_recognition_tpu.ops.resample import (
+        pad_frames_operator,
+    )
+
+    want = sys.argv[1:]
+
+    def sel(n):
+        return not want or any(w in n for w in want)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(size=(BATCH, 3, T_IN, 25, 2)).astype(np.float32)
+    )
+    w = jnp.asarray(pad_frames_operator(T_IN, PAD))
+    loc = jnp.zeros(3)
+    lam = jnp.asarray(5e-4)
+
+    if sel("radar_fwd"):
+        timeit(
+            "radar_fwd",
+            lambda x, c: radar_return_fused(
+                x + c * 0, w, loc, lam
+            )[0].mean() * 1e-9,
+            x,
+        )
+    if sel("radar_train"):
+        g = jax.grad(
+            lambda x: radar_return_fused(x, w, loc, lam)[0].sum()
+        )
+        timeit(
+            "radar_train",
+            lambda x, c: g(x + c * 0).mean() * 1e-9,
+            x,
+        )
+
+    model = spectrogram.VirtualRadar(
+        num_pad_frames=PAD, use_pallas=True, wavelength=5e-4,
+    )
+    vs = model.init(jax.random.key(0), x[:1])
+
+    if sel("spec_fwd"):
+        timeit(
+            "spec_fwd",
+            lambda x, c: model.apply(vs, x + c * 0).mean() * 1e-9,
+            x,
+        )
+    if sel("spec_train"):
+        g = jax.grad(lambda x: model.apply(vs, x).sum())
+        timeit(
+            "spec_train",
+            lambda x, c: g(x + c * 0).mean() * 1e-9,
+            x,
+        )
+
+    if sel("model_train"):
+        import optax
+
+        from skeleton_action_recognition_tpu.train import (
+            create_train_state,
+            make_radar_train_step,
+        )
+
+        full = spectrogram.Model(
+            num_classes=60, num_pad_frames=PAD, use_pallas=True,
+        )
+        state = create_train_state(
+            full, jax.random.key(0), x[:1], optax.adam(1e-3)
+        )
+        step = make_radar_train_step(BATCH)
+        y = jax.nn.one_hot(
+            jnp.asarray(rng.integers(0, 60, size=BATCH)), 60
+        )
+
+        def body(x, c):
+            s2, m = step(state, x + c * 0, y, False, False)
+            return m["loss"] * 1e-9
+
+        timeit("model_train", body, x)
+
+
+if __name__ == "__main__":
+    main()

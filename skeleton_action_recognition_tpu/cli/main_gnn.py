@@ -259,10 +259,12 @@ def main(argv=None):
         # device pipeline; the per-iteration TB scalars are written with
         # identical values afterwards
         pending = []
-        for xb, yb in itertools.islice(
-            train_data.batches(), steps_per_epoch
+        # prefetch_to_device: batch i+1's host->HBM copy is issued
+        # before step i is awaited (double-buffering, VERDICT r2 item 7)
+        for (xs, ys) in parallel.prefetch_to_device(
+            itertools.islice(train_data.batches(), steps_per_epoch),
+            dp.shard_host_batch,
         ):
-            xs, ys = dp.shard_host_batch(xb, yb)
             state, m = train_step(
                 state, xs, ys, epoch > arg.freeze_graph_until
             )

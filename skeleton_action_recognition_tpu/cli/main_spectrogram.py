@@ -224,8 +224,9 @@ def main(argv=None):
                 # GNN trainer's pattern. TB scalars written afterwards
                 # are value-identical.
                 pending = []
-                for xb, yb in datasets[phase].batches():
-                    xs, ys = dp.shard_host_batch(xb, yb)
+                for (xs, ys) in parallel.prefetch_to_device(
+                    datasets[phase].batches(), dp.shard_host_batch
+                ):
                     state, m = train_step(
                         state, xs, ys, train_lambda, train_loc
                     )

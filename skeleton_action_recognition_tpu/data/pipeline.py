@@ -86,6 +86,7 @@ class TFRecordDataset:
         prefetch: int = 2,
         transform=None,
         stream: bool = False,
+        shuffle_buffer: int = 1024,
     ):
         records = sorted(
             os.path.join(directory, f)
@@ -102,6 +103,11 @@ class TFRecordDataset:
         self.prefetch = prefetch
         self.transform = transform
         self.stream = stream
+        # stream=True shuffle = shard order + a cross-shard reservoir of
+        # this many samples (tf.data ``shuffle(buffer_size)`` semantics);
+        # 0 falls back to within-shard-only mixing. The in-RAM path
+        # (stream=False) always does a full global permutation.
+        self.shuffle_buffer = shuffle_buffer
         self._rng = np.random.default_rng(seed)
         self._cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self._count: Optional[int] = None
@@ -164,8 +170,13 @@ class TFRecordDataset:
 
     def _stream_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Larger-than-RAM mode: decode shard-by-shard each epoch, with a
-        background prefetch thread; shuffling is per-epoch shard order plus
-        within-shard permutation (the standard sharded-corpus compromise)."""
+        background prefetch thread. Shuffling is per-epoch shard order
+        plus a cross-shard reservoir of ``shuffle_buffer`` samples
+        (tf.data ``shuffle(buffer_size)`` semantics — each emitted sample
+        is drawn uniformly from the buffered window, so mixing spans
+        shard boundaries); weaker than the in-RAM path's full global
+        permutation, by the same trade every sharded streaming loader
+        makes."""
         shards = list(self.records)
         if self.shuffle:
             self._rng.shuffle(shards)
@@ -175,24 +186,47 @@ class TFRecordDataset:
 
         def producer():
             carry_x, carry_y = [], []
+            reservoir: list = []
+
+            def emit(x, y):
+                carry_x.append(x)
+                carry_y.append(y)
+                if len(carry_x) == self.batch_size:
+                    batch = np.stack(carry_x).astype(np.float32)
+                    if self.transform is not None:
+                        batch = self.transform(batch)
+                    q.put(
+                        (batch,
+                         _one_hot(np.asarray(carry_y),
+                                  self.num_classes))
+                    )
+                    carry_x.clear(), carry_y.clear()
+
+            use_reservoir = self.shuffle and self.shuffle_buffer > 0
             for shard in shards:
                 feats, labels = tfrecord.decode_shard(shard)
                 order = np.arange(len(feats))
                 if self.shuffle:
                     order = self._rng.permutation(order)
                 for idx in order:
-                    carry_x.append(feats[idx])
-                    carry_y.append(labels[idx])
-                    if len(carry_x) == self.batch_size:
-                        batch = np.stack(carry_x).astype(np.float32)
-                        if self.transform is not None:
-                            batch = self.transform(batch)
-                        q.put(
-                            (batch,
-                             _one_hot(np.asarray(carry_y),
-                                      self.num_classes))
-                        )
-                        carry_x, carry_y = [], []
+                    if use_reservoir:
+                        reservoir.append((feats[idx], labels[idx]))
+                        if len(reservoir) >= self.shuffle_buffer:
+                            k = int(
+                                self._rng.integers(len(reservoir))
+                            )
+                            reservoir[k], reservoir[-1] = (
+                                reservoir[-1], reservoir[k]
+                            )
+                            emit(*reservoir.pop())
+                    else:
+                        emit(feats[idx], labels[idx])
+            while reservoir:
+                k = int(self._rng.integers(len(reservoir)))
+                reservoir[k], reservoir[-1] = (
+                    reservoir[-1], reservoir[k]
+                )
+                emit(*reservoir.pop())
             if carry_x and not self.drop_remainder:
                 batch = np.stack(carry_x).astype(np.float32)
                 if self.transform is not None:

@@ -50,33 +50,38 @@ from skeleton_action_recognition_tpu.graphs.ntu_rgb_d import RADAR_EDGES
 _TILE = 512
 
 
-def _radar_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref, re_ref, im_ref):
+def _radar_kernel(lam_ref, loc_ref, w_ref, src_ref, dst_ref, c_ref,
+                  re_ref, im_ref):
     """One (sample, time-tile) grid step.
 
     Refs: ``lam_ref`` (1,1) and ``loc_ref`` (1,3) in SMEM; ``w_ref``
-    (TILE, T_in); ``feat_ref`` (1, T_in, 6*EM) gathered endpoints laid out
-    as [src_x | src_y | src_z | dst_x | dst_y | dst_z] blocks of EM
-    columns; ``c_ref`` (1, EM) squared mean bone lengths; outputs
-    (1, TILE).
+    (TILE, T_in); ``src_ref``/``dst_ref`` (1, T_in, 3*EM) gathered
+    endpoints laid out as [x | y | z] blocks of EM columns; ``c_ref``
+    (1, EM) squared mean bone lengths; outputs (1, TILE).
+
+    Precision split: the MXU's default f32 matmul is a single bf16 pass
+    (measured rel ~3e-3). Position error on the SOURCE endpoints is
+    amplified by the 4*pi/lambda phase factor into fully-decorrelated
+    returns at radar wavelengths, so the src contraction is pinned
+    HIGHEST (f32-exact). The dst endpoints only enter the aspect-angle /
+    RCS-amplitude chain, where a 0.3% error is invisible after the
+    log-magnitude — they stay on the fast default path (halves the
+    f32-exact matmul cost).
     """
     em = c_ref.shape[-1]
     lam = lam_ref[0, 0]
     lx, ly, lz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
 
-    # HIGHEST: the MXU's default f32 matmul is a single bf16 pass
-    # (measured rel error ~3e-3), and position error is amplified by the
-    # 4*pi/lambda phase factor into fully-decorrelated returns at radar
-    # wavelengths. The f32-exact matmul costs more MXU passes but this
-    # kernel is transcendental-bound on the VPU, not matmul-bound.
-    data = jnp.dot(
-        w_ref[:], feat_ref[0], preferred_element_type=jnp.float32,
+    spos = jnp.dot(
+        w_ref[:], src_ref[0], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (TILE, 6*EM)
+    )  # (TILE, 3*EM)
+    dpos = jnp.dot(
+        w_ref[:], dst_ref[0], preferred_element_type=jnp.float32,
+    )
     c_row = c_ref[0, 0]  # (EM,)
-    sx, sy, sz = data[:, :em], data[:, em : 2 * em], data[:, 2 * em : 3 * em]
-    dx = data[:, 3 * em : 4 * em]
-    dy = data[:, 4 * em : 5 * em]
-    dz = data[:, 5 * em : 6 * em]
+    sx, sy, sz = spos[:, :em], spos[:, em : 2 * em], spos[:, 2 * em :]
+    dx, dy, dz = dpos[:, :em], dpos[:, em : 2 * em], dpos[:, 2 * em :]
 
     rx, ry, rz = sx - lx, sy - ly, sz - lz
     dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
@@ -101,14 +106,18 @@ def _radar_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref, re_ref, im_ref):
 
 
 def _gather_features(x_raw, src_idx, dst_idx):
-    """``(N, 3, T, V, M)`` -> ``(N, T, 6*E*M)`` endpoint features."""
+    """``(N, 3, T, V, M)`` -> two ``(N, T, 3*E*M)`` endpoint features
+    (src and dst), each laid out as [x | y | z] blocks of E*M columns.
+    Kept as separate arrays so the kernel can contract them at different
+    MXU precisions without lane-offset slicing (which Mosaic on v5e
+    cannot lower at non-tile-aligned offsets)."""
     n, _, t, _, m = x_raw.shape
     src = x_raw[:, :, :, src_idx]  # (N, 3, T, E, M)
     dst = x_raw[:, :, :, dst_idx]
-    parts = [src[:, i] for i in range(3)] + [dst[:, i] for i in range(3)]
-    return jnp.concatenate(
-        [p.reshape(n, t, -1) for p in parts], axis=-1
+    pack = lambda a: jnp.concatenate(
+        [a[:, i].reshape(n, t, -1) for i in range(3)], axis=-1
     )
+    return pack(src), pack(dst)
 
 
 def _bone_length_mean_sq(x_raw, pad_operator, src_idx, dst_idx, tile):
@@ -149,17 +158,18 @@ def _bone_length_mean_sq(x_raw, pad_operator, src_idx, dst_idx, tile):
     return (total / t_out) ** 2  # (N, E, M)
 
 
-def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref,
+def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, src_ref, dst_ref, c_ref,
                       gre_ref, gim_ref,
-                      dfeat_ref, dc_ref, dloc_ref, dlam_ref):
+                      dsrc_ref, ddst_ref, dc_ref, dloc_ref, dlam_ref):
     """Hand-derived backward of :func:`_radar_kernel`.
 
     Recomputes the forward intermediates for one (sample, time-tile) grid
     step, differentiates the backscatter/phase math on the VPU, and emits
-    one MXU matmul (``dfeat += W_tile^T @ g_data``). Scalar/row
-    accumulators (``dc``, ``dloc``, ``dlam``) rely on the TPU grid
-    executing sequentially; the resampling operator's cotangent is zero
-    by contract.
+    two MXU matmuls (``dsrc += W_tile^T @ g_src`` at HIGHEST — the phase
+    cotangent chain needs f32-exact positions — and the amplitude-only
+    ``ddst`` at the fast default). Scalar/row accumulators (``dc``,
+    ``dloc``, ``dlam``) rely on the TPU grid executing sequentially; the
+    resampling operator's cotangent is zero by contract.
     """
     i, j = pl.program_id(0), pl.program_id(1)
     em = c_ref.shape[-1]
@@ -167,14 +177,16 @@ def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref,
     lx, ly, lz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
     k = 4.0 * np.pi / lam
 
-    # ---- recompute forward intermediates ----
-    # HIGHEST for the same phase-precision reason as the forward kernel
-    data = jnp.dot(
-        w_ref[:], feat_ref[0], preferred_element_type=jnp.float32,
+    # ---- recompute forward intermediates (same precision split as fwd) ----
+    spos = jnp.dot(
+        w_ref[:], src_ref[0], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    sx, sy, sz = data[:, :em], data[:, em:2*em], data[:, 2*em:3*em]
-    dx, dy, dz = data[:, 3*em:4*em], data[:, 4*em:5*em], data[:, 5*em:6*em]
+    dpos = jnp.dot(
+        w_ref[:], dst_ref[0], preferred_element_type=jnp.float32,
+    )
+    sx, sy, sz = spos[:, :em], spos[:, em:2*em], spos[:, 2*em:]
+    dx, dy, dz = dpos[:, :em], dpos[:, em:2*em], dpos[:, 2*em:]
     rx, ry, rz = sx - lx, sy - ly, sz - lz
     dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
     ax, ay, az = lx - (sx + dx) * 0.5, ly - (sy + dy) * 0.5, lz - (sz + dz) * 0.5
@@ -221,18 +233,21 @@ def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref,
     g_dx = -0.5 * g_ax + g_bx
     g_dy = -0.5 * g_ay + g_by
     g_dz = -0.5 * g_az + g_bz
-    g_data = jnp.concatenate(
-        [g_sx, g_sy, g_sz, g_dx, g_dy, g_dz], axis=1
-    )  # (TILE, 6*EM)
+    g_src = jnp.concatenate([g_sx, g_sy, g_sz], axis=1)  # (TILE, 3*EM)
+    g_dst = jnp.concatenate([g_dx, g_dy, g_dz], axis=1)
 
-    dfeat_tile = jnp.dot(
-        w_ref[:].T, g_data, preferred_element_type=jnp.float32,
+    dsrc_tile = jnp.dot(
+        w_ref[:].T, g_src, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (T_in, F)
+    )  # (T_in, 3*EM)
+    ddst_tile = jnp.dot(
+        w_ref[:].T, g_dst, preferred_element_type=jnp.float32,
+    )
 
     @pl.when(j == 0)
     def _():
-        dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
+        dsrc_ref[0] = jnp.zeros_like(dsrc_ref[0])
+        ddst_ref[0] = jnp.zeros_like(ddst_ref[0])
         dc_ref[0, 0] = jnp.zeros_like(dc_ref[0, 0])
 
     @pl.when(jnp.logical_and(i == 0, j == 0))
@@ -242,7 +257,8 @@ def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref,
         dloc_ref[0, 2] = 0.0
         dlam_ref[0, 0] = 0.0
 
-    dfeat_ref[0] += dfeat_tile
+    dsrc_ref[0] += dsrc_tile
+    ddst_ref[0] += ddst_tile
     dc_ref[0, 0] += jnp.sum(g_c, axis=0)
     dloc_ref[0, 0] += jnp.sum(-g_rx + g_ax)
     dloc_ref[0, 1] += jnp.sum(-g_ry + g_ay)
@@ -250,23 +266,23 @@ def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, feat_ref, c_ref,
     dlam_ref[0, 0] += (-k / lam) * jnp.sum(g_phase * dist)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _kernel_op(w, feat, c, loc, lam, tile):
-    """The pallas-kernel boundary: padded operator + gathered features +
-    bone stats -> padded complex signal. ``custom_vjp`` with a hand-
-    derived Pallas backward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _kernel_op(w, src, dst, c, loc, lam, tile):
+    """The pallas-kernel boundary: padded operator + gathered endpoint
+    features + bone stats -> padded complex signal. ``custom_vjp`` with a
+    hand-derived Pallas backward.
 
     Gradient contract: ``w`` (the resampling operator, a precomputed scipy
     constant) gets a ZERO cotangent — callers wrap it in
-    ``lax.stop_gradient``; all trainable quantities flow through ``feat``,
-    ``c``, ``loc``, ``lam``.
+    ``lax.stop_gradient``; all trainable quantities flow through ``src``,
+    ``dst``, ``c``, ``loc``, ``lam``.
     """
-    return _kernel_fwd_impl(w, feat, c, loc, lam, tile)
+    return _kernel_fwd_impl(w, src, dst, c, loc, lam, tile)
 
 
-def _kernel_fwd_impl(w, feat, c, loc, lam, tile):
-    n, t_in, f = feat.shape
-    em = f // 6
+def _kernel_fwd_impl(w, src, dst, c, loc, lam, tile):
+    n, t_in, f = src.shape
+    em = f // 3
     t_pad = w.shape[0]
     num_tiles = t_pad // tile
     lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
@@ -281,7 +297,8 @@ def _kernel_fwd_impl(w, feat, c, loc, lam, tile):
             pl.BlockSpec((1, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, t_in), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, t_in, 6 * em), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t_in, 3 * em), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t_in, 3 * em), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
@@ -293,26 +310,26 @@ def _kernel_fwd_impl(w, feat, c, loc, lam, tile):
             jax.ShapeDtypeStruct((n, num_tiles, 1, tile), jnp.float32),
         ],
         interpret=interpret,
-    )(lam2, loc2, w, feat, c.reshape(n, 1, em))
+    )(lam2, loc2, w, src, dst, c.reshape(n, 1, em))
     return re.reshape(n, t_pad), im.reshape(n, t_pad)
 
 
-def _kernel_vjp_fwd(w, feat, c, loc, lam, tile):
-    out = _kernel_fwd_impl(w, feat, c, loc, lam, tile)
-    return out, (w, feat, c, loc, lam)
+def _kernel_vjp_fwd(w, src, dst, c, loc, lam, tile):
+    out = _kernel_fwd_impl(w, src, dst, c, loc, lam, tile)
+    return out, (w, src, dst, c, loc, lam)
 
 
 def _kernel_vjp_bwd(tile, residuals, g):
-    w, feat, c, loc, lam = residuals
+    w, src, dst, c, loc, lam = residuals
     gre, gim = g
-    n, t_in, f = feat.shape
-    em = f // 6
+    n, t_in, f = src.shape
+    em = f // 3
     t_pad = w.shape[0]
     num_tiles = t_pad // tile
     lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
     loc2 = jnp.asarray(loc, jnp.float32).reshape(1, 3)
     interpret = jax.default_backend() == "cpu"
-    dfeat, dc, dloc, dlam = pl.pallas_call(
+    dsrc, ddst, dc, dloc, dlam = pl.pallas_call(
         _radar_bwd_kernel,
         grid=(n, num_tiles),
         in_specs=[
@@ -321,13 +338,15 @@ def _kernel_vjp_bwd(tile, residuals, g):
             pl.BlockSpec((1, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, t_in), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, t_in, 6 * em), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t_in, 3 * em), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t_in, 3 * em), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, 1, tile), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, tile), lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, t_in, 6 * em), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t_in, 3 * em), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t_in, 3 * em), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
             # scalar accumulators live in SMEM (Mosaic rejects scalar
             # stores to VMEM)
@@ -337,20 +356,22 @@ def _kernel_vjp_bwd(tile, residuals, g):
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, t_in, 6 * em), jnp.float32),
+            jax.ShapeDtypeStruct((n, t_in, 3 * em), jnp.float32),
+            jax.ShapeDtypeStruct((n, t_in, 3 * em), jnp.float32),
             jax.ShapeDtypeStruct((n, 1, em), jnp.float32),
             jax.ShapeDtypeStruct((1, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=interpret,
     )(
-        lam2, loc2, w, feat, c.reshape(n, 1, em),
+        lam2, loc2, w, src, dst, c.reshape(n, 1, em),
         gre.reshape(n, num_tiles, 1, tile),
         gim.reshape(n, num_tiles, 1, tile),
     )
     return (
         jnp.zeros_like(w),  # resampling operator: constant by contract
-        dfeat,
+        dsrc,
+        ddst,
         dc.reshape(c.shape),
         dloc.reshape(np.shape(loc)),
         dlam.reshape(np.shape(lam)),
@@ -368,14 +389,14 @@ def _radar_fused_impl(x_raw, pad_operator, radar_location, wavelength,
     num_tiles = -(-t_out // tile)
     t_pad = num_tiles * tile
 
-    feat = _gather_features(x_raw, src_idx, dst_idx)
+    src, dst = _gather_features(x_raw, src_idx, dst_idx)
     c = _bone_length_mean_sq(x_raw, pad_operator, src_idx, dst_idx, tile)
 
     w = lax.stop_gradient(
         jnp.pad(pad_operator, ((0, t_pad - t_out), (0, 0)))
     )
     re, im = _kernel_op(
-        w, feat, c, jnp.asarray(radar_location, jnp.float32),
+        w, src, dst, c, jnp.asarray(radar_location, jnp.float32),
         jnp.asarray(wavelength, jnp.float32), tile,
     )
     return re[:, :t_out], im[:, :t_out]

@@ -8,6 +8,7 @@ from skeleton_action_recognition_tpu.parallel.mesh import (
 )
 from skeleton_action_recognition_tpu.parallel.sharding import (
     DataParallel,
+    prefetch_to_device,
     shard_batch,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "local_device_count",
     "maybe_initialize_distributed",
     "mesh",
+    "prefetch_to_device",
     "shard_batch",
 ]

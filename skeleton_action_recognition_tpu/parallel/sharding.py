@@ -89,3 +89,27 @@ class DataParallel:
 def shard_batch(mesh: Mesh, array, axis: str = "data"):
     """One-off batch placement helper."""
     return jax.device_put(array, NamedSharding(mesh, P(axis)))
+
+
+def prefetch_to_device(iterator, place_fn, depth: int = 2):
+    """Double-buffer host->device transfer against compute.
+
+    Issues ``place_fn(*item)`` (e.g. ``dp.shard_host_batch``) for the
+    NEXT ``depth - 1`` batches before yielding the current one, so the
+    host->HBM copy of batch ``i+1`` overlaps step ``i``'s execution
+    (``jax.device_put`` is asynchronous) — the ``tf.data``
+    ``prefetch(AUTOTUNE)``-to-device equivalent the reference gets for
+    free (``main_gnn.py:193-195``).
+    """
+    from collections import deque
+
+    buf: deque = deque()
+    for item in iterator:
+        if not isinstance(item, tuple):
+            item = (item,)
+        placed = place_fn(*item)
+        buf.append(placed if isinstance(placed, tuple) else (placed,))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

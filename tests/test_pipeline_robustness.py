@@ -161,3 +161,63 @@ def test_streaming_mode_matches_cached(tmp_path):
         drop_remainder=True,
     )
     assert sum(len(ys) for _, ys in dr.batches()) == 8
+
+
+def test_stream_shuffle_buffer_mixes_across_shards(tmp_path):
+    """The cross-shard reservoir must (a) cover every sample exactly
+    once, (b) actually mix samples across shard boundaries, and (c) keep
+    features paired with their labels."""
+    d = tmp_path / "ds"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    n = 24
+    data = rng.normal(size=(n, 3, 4, 25, 2)).astype(np.float32)
+    tfrecord.write_dataset(
+        data, np.arange(n), str(d), "t", num_shards=4
+    )
+    ds = TFRecordDataset(
+        str(d), batch_size=4, num_classes=n, stream=True, shuffle=True,
+        shuffle_buffer=8, seed=11,
+    )
+    seen = []
+    for xs, ys in ds.batches():
+        for x, y in zip(xs, ys):
+            label = int(y.argmax())
+            seen.append(label)
+            np.testing.assert_array_equal(x, data[label])
+    assert sorted(seen) == list(range(n))
+
+    # the first emitted shard-chunk (6 samples per shard) must not be a
+    # permutation of a single shard's samples once the reservoir spans
+    # shards: with buffer 8 > shard size 6, some of the first 6 emitted
+    # labels must come from a later shard
+    first_shard = {
+        int(label)
+        for label in seen[:6]
+    }
+    # labels were written sequentially into 4 shards of 6
+    shards = [set(range(i * 6, (i + 1) * 6)) for i in range(4)]
+    assert not any(first_shard <= s for s in shards)
+
+    # buffer 0 falls back to within-shard-only mixing and still covers
+    ds0 = TFRecordDataset(
+        str(d), batch_size=4, num_classes=n, stream=True, shuffle=True,
+        shuffle_buffer=0, seed=11,
+    )
+    assert sorted(
+        int(y.argmax()) for _, ys in ds0.batches() for y in ys
+    ) == list(range(n))
+
+
+def test_prefetch_to_device_preserves_order_and_pairs():
+    from skeleton_action_recognition_tpu.parallel.sharding import (
+        prefetch_to_device,
+    )
+
+    items = [(np.full((2,), i), np.full((2,), -i)) for i in range(5)]
+    out = list(
+        prefetch_to_device(iter(items), lambda x, y: (x + 0, y + 0))
+    )
+    assert len(out) == 5
+    for i, (x, y) in enumerate(out):
+        assert x[0] == i and y[0] == -i
