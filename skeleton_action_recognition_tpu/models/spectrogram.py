@@ -81,18 +81,24 @@ class VirtualRadar(nn.Module):
         if self.num_pad_frames > 1:
             # On-device fused upsample+radar (the reference does the 250x
             # interpolation on CPU loader workers, utils.py:134-140).
-            w = jnp.asarray(
-                pad_frames_operator(
-                    x.shape[2], self.num_pad_frames, self.pad_sigma
-                )
-            )
             if self.use_pallas:
+                # Spline-factorized kernel: the dense (T_out, T_in)
+                # operator never exists — only per-segment cubic
+                # coefficients and a narrow per-tile monomial matrix.
                 from skeleton_action_recognition_tpu.ops.pallas.radar import (
-                    radar_return_fused,
+                    radar_return_spline,
                 )
 
-                re, im = radar_return_fused(x, w, loc, lam, self.edges)
+                re, im = radar_return_spline(
+                    x, self.num_pad_frames, loc, lam, self.edges,
+                    sigma=self.pad_sigma,
+                )
             else:
+                w = jnp.asarray(
+                    pad_frames_operator(
+                        x.shape[2], self.num_pad_frames, self.pad_sigma
+                    )
+                )
                 re, im = radar_return_upsampled(x, w, loc, lam, self.edges)
         else:
             re, im = radar_return(x, loc, lam, self.edges)

@@ -50,6 +50,35 @@ from skeleton_action_recognition_tpu.graphs.ntu_rgb_d import RADAR_EDGES
 _TILE = 512
 
 
+def _fwd_math(lam, lx, ly, lz, spos, dpos, c_row, em):
+    """Shared VPU backscatter math: interpolated endpoint positions ->
+    per-tile (re, im) rows. Used by both the dense and spline kernels."""
+    sx, sy, sz = spos[:, :em], spos[:, em : 2 * em], spos[:, 2 * em :]
+    dx, dy, dz = dpos[:, :em], dpos[:, em : 2 * em], dpos[:, 2 * em :]
+
+    rx, ry, rz = sx - lx, sy - ly, sz - lz
+    dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+
+    ax, ay, az = lx - (sx + dx) * 0.5, ly - (sy + dy) * 0.5, lz - (sz + dz) * 0.5
+    bx, by, bz = dx - sx, dy - sy, dz - sz
+    dot = ax * bx + ay * by + az * bz
+    na = jnp.sqrt(ax * ax + ay * ay + az * az)
+    nb = jnp.sqrt(bx * bx + by * by + bz * bz)
+    ct = dot / (na * nb + 1e-6)
+
+    c = c_row[None, :]  # (1, EM)
+    ct2 = ct * ct
+    # abs: amp = sqrt(pi*c / denom^2) = sqrt(pi*c) / |denom| (denom can go
+    # epsilon-negative when |ct| creeps past 1 in f32)
+    denom = jnp.abs((1.0 - ct2) + c * ct2)
+    amp = jnp.sqrt(np.pi * c) / denom
+
+    phase = (4.0 * np.pi / lam) * dist
+    re_row = jnp.sum(amp * jnp.cos(phase), axis=1)
+    im_row = jnp.sum(amp * jnp.sin(phase), axis=1)
+    return re_row, im_row
+
+
 def _radar_kernel(lam_ref, loc_ref, w_ref, src_ref, dst_ref, c_ref,
                   re_ref, im_ref):
     """One (sample, time-tile) grid step.
@@ -79,30 +108,11 @@ def _radar_kernel(lam_ref, loc_ref, w_ref, src_ref, dst_ref, c_ref,
     dpos = jnp.dot(
         w_ref[:], dst_ref[0], preferred_element_type=jnp.float32,
     )
-    c_row = c_ref[0, 0]  # (EM,)
-    sx, sy, sz = spos[:, :em], spos[:, em : 2 * em], spos[:, 2 * em :]
-    dx, dy, dz = dpos[:, :em], dpos[:, em : 2 * em], dpos[:, 2 * em :]
-
-    rx, ry, rz = sx - lx, sy - ly, sz - lz
-    dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
-
-    ax, ay, az = lx - (sx + dx) * 0.5, ly - (sy + dy) * 0.5, lz - (sz + dz) * 0.5
-    bx, by, bz = dx - sx, dy - sy, dz - sz
-    dot = ax * bx + ay * by + az * bz
-    na = jnp.sqrt(ax * ax + ay * ay + az * az)
-    nb = jnp.sqrt(bx * bx + by * by + bz * bz)
-    ct = dot / (na * nb + 1e-6)
-
-    c = c_row[None, :]  # (1, EM)
-    ct2 = ct * ct
-    # abs: amp = sqrt(pi*c / denom^2) = sqrt(pi*c) / |denom| (denom can go
-    # epsilon-negative when |ct| creeps past 1 in f32)
-    denom = jnp.abs((1.0 - ct2) + c * ct2)
-    amp = jnp.sqrt(np.pi * c) / denom
-
-    phase = (4.0 * np.pi / lam) * dist
-    re_ref[0, 0, 0, :] = jnp.sum(amp * jnp.cos(phase), axis=1)
-    im_ref[0, 0, 0, :] = jnp.sum(amp * jnp.sin(phase), axis=1)
+    re_row, im_row = _fwd_math(
+        lam, lx, ly, lz, spos, dpos, c_ref[0, 0], em
+    )
+    re_ref[0, 0, 0, :] = re_row
+    im_ref[0, 0, 0, :] = im_row
 
 
 def _gather_features(x_raw, src_idx, dst_idx):
@@ -158,33 +168,13 @@ def _bone_length_mean_sq(x_raw, pad_operator, src_idx, dst_idx, tile):
     return (total / t_out) ** 2  # (N, E, M)
 
 
-def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, src_ref, dst_ref, c_ref,
-                      gre_ref, gim_ref,
-                      dsrc_ref, ddst_ref, dc_ref, dloc_ref, dlam_ref):
-    """Hand-derived backward of :func:`_radar_kernel`.
-
-    Recomputes the forward intermediates for one (sample, time-tile) grid
-    step, differentiates the backscatter/phase math on the VPU, and emits
-    two MXU matmuls (``dsrc += W_tile^T @ g_src`` at HIGHEST — the phase
-    cotangent chain needs f32-exact positions — and the amplitude-only
-    ``ddst`` at the fast default). Scalar/row accumulators (``dc``,
-    ``dloc``, ``dlam``) rely on the TPU grid executing sequentially; the
-    resampling operator's cotangent is zero by contract.
-    """
-    i, j = pl.program_id(0), pl.program_id(1)
-    em = c_ref.shape[-1]
-    lam = lam_ref[0, 0]
-    lx, ly, lz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
+def _bwd_math(lam, lx, ly, lz, spos, dpos, c_row, gre, gim, em):
+    """Shared hand-derived backward of :func:`_fwd_math`: recompute the
+    forward intermediates and differentiate the backscatter/phase chain.
+    Returns the endpoint-position cotangents ``g_src``/``g_dst``
+    ``(TILE, 3*EM)`` plus the reduced ``g_c`` ``(EM,)``, ``g_loc``
+    scalars, and ``g_lam`` scalar for this tile."""
     k = 4.0 * np.pi / lam
-
-    # ---- recompute forward intermediates (same precision split as fwd) ----
-    spos = jnp.dot(
-        w_ref[:], src_ref[0], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    dpos = jnp.dot(
-        w_ref[:], dst_ref[0], preferred_element_type=jnp.float32,
-    )
     sx, sy, sz = spos[:, :em], spos[:, em:2*em], spos[:, 2*em:]
     dx, dy, dz = dpos[:, :em], dpos[:, em:2*em], dpos[:, 2*em:]
     rx, ry, rz = sx - lx, sy - ly, sz - lz
@@ -196,7 +186,7 @@ def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, src_ref, dst_ref, c_ref,
     nb = jnp.sqrt(bx * bx + by * by + bz * bz)
     den = na * nb + 1e-6
     ct = dot / den
-    c = c_ref[0, 0][None, :]
+    c = c_row[None, :]
     ct2 = ct * ct
     u = (1.0 - ct2) + c * ct2
     au = jnp.abs(u)
@@ -204,9 +194,6 @@ def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, src_ref, dst_ref, c_ref,
     phase = k * dist
     cosp, sinp = jnp.cos(phase), jnp.sin(phase)
 
-    # ---- backward ----
-    gre = gre_ref[0, 0, 0, :][:, None]  # (TILE, 1)
-    gim = gim_ref[0, 0, 0, :][:, None]
     g_amp = gre * cosp + gim * sinp
     g_phase = amp * (gim * cosp - gre * sinp)
     g_dist = g_phase * k
@@ -235,6 +222,46 @@ def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, src_ref, dst_ref, c_ref,
     g_dz = -0.5 * g_az + g_bz
     g_src = jnp.concatenate([g_sx, g_sy, g_sz], axis=1)  # (TILE, 3*EM)
     g_dst = jnp.concatenate([g_dx, g_dy, g_dz], axis=1)
+    g_loc = (
+        jnp.sum(-g_rx + g_ax),
+        jnp.sum(-g_ry + g_ay),
+        jnp.sum(-g_rz + g_az),
+    )
+    g_lam = (-k / lam) * jnp.sum(g_phase * dist)
+    return g_src, g_dst, jnp.sum(g_c, axis=0), g_loc, g_lam
+
+
+def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, src_ref, dst_ref, c_ref,
+                      gre_ref, gim_ref,
+                      dsrc_ref, ddst_ref, dc_ref, dloc_ref, dlam_ref):
+    """Hand-derived backward of :func:`_radar_kernel`.
+
+    Recomputes the forward intermediates for one (sample, time-tile) grid
+    step, differentiates the backscatter/phase math on the VPU, and emits
+    two MXU matmuls (``dsrc += W_tile^T @ g_src`` at HIGHEST — the phase
+    cotangent chain needs f32-exact positions — and the amplitude-only
+    ``ddst`` at the fast default). Scalar/row accumulators (``dc``,
+    ``dloc``, ``dlam``) rely on the TPU grid executing sequentially; the
+    resampling operator's cotangent is zero by contract.
+    """
+    i, j = pl.program_id(0), pl.program_id(1)
+    em = c_ref.shape[-1]
+    lam = lam_ref[0, 0]
+    lx, ly, lz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
+
+    # ---- recompute forward intermediates (same precision split as fwd) ----
+    spos = jnp.dot(
+        w_ref[:], src_ref[0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dpos = jnp.dot(
+        w_ref[:], dst_ref[0], preferred_element_type=jnp.float32,
+    )
+    gre = gre_ref[0, 0, 0, :][:, None]  # (TILE, 1)
+    gim = gim_ref[0, 0, 0, :][:, None]
+    g_src, g_dst, g_c_row, g_loc, g_lam = _bwd_math(
+        lam, lx, ly, lz, spos, dpos, c_ref[0, 0], gre, gim, em
+    )
 
     dsrc_tile = jnp.dot(
         w_ref[:].T, g_src, preferred_element_type=jnp.float32,
@@ -259,11 +286,11 @@ def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, src_ref, dst_ref, c_ref,
 
     dsrc_ref[0] += dsrc_tile
     ddst_ref[0] += ddst_tile
-    dc_ref[0, 0] += jnp.sum(g_c, axis=0)
-    dloc_ref[0, 0] += jnp.sum(-g_rx + g_ax)
-    dloc_ref[0, 1] += jnp.sum(-g_ry + g_ay)
-    dloc_ref[0, 2] += jnp.sum(-g_rz + g_az)
-    dlam_ref[0, 0] += (-k / lam) * jnp.sum(g_phase * dist)
+    dc_ref[0, 0] += g_c_row
+    dloc_ref[0, 0] += g_loc[0]
+    dloc_ref[0, 1] += g_loc[1]
+    dloc_ref[0, 2] += g_loc[2]
+    dlam_ref[0, 0] += g_lam
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -426,3 +453,295 @@ def radar_return_fused(
         x_raw, pad_operator, radar_location, wavelength,
         src_idx, dst_idx, int(tile),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spline-factorized variant: the dense (TILE, T_in) resampling contraction
+# collapses to a (TILE, 4*NS) one (NS = spline segments under a tile, ~4 at
+# the production 250x upsample), a ~19x matmul-FLOP cut, and the dense
+# (T_out, T_in) operator (90MB at production shapes) never exists — only
+# the per-tile monomial matrix (num_tiles, TILE, 4*NS) and the gathered
+# per-segment cubic coefficients do. See resample.spline_tile_plan.
+# ---------------------------------------------------------------------------
+
+
+def _radar_spline_kernel(lam_ref, loc_ref, e_ref, src_ref, dst_ref, c_ref,
+                         re_ref, im_ref):
+    """One (sample, time-tile) grid step of the spline-path forward.
+
+    ``e_ref`` (1, TILE, 4*NS): per-row monomials; ``src_ref``/``dst_ref``
+    (1, 1, 4*NS, 3*EM): this tile's gathered segment coefficients. Both
+    contractions are pinned HIGHEST — at width 4*NS the f32-exact passes
+    cost ~nothing, and the src positions are phase-critical (see the
+    dense kernel's precision note)."""
+    em = c_ref.shape[-1]
+    lam = lam_ref[0, 0]
+    lx, ly, lz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
+    spos = jnp.dot(
+        e_ref[0], src_ref[0, 0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (TILE, 3*EM)
+    dpos = jnp.dot(
+        e_ref[0], dst_ref[0, 0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    re_row, im_row = _fwd_math(
+        lam, lx, ly, lz, spos, dpos, c_ref[0, 0], em
+    )
+    re_ref[0, 0, 0, :] = re_row
+    im_ref[0, 0, 0, :] = im_row
+
+
+def _radar_spline_bwd_kernel(lam_ref, loc_ref, e_ref, src_ref, dst_ref,
+                             c_ref, gre_ref, gim_ref,
+                             dsrc_ref, ddst_ref, dc_ref, dloc_ref,
+                             dlam_ref):
+    """Hand-derived backward of :func:`_radar_spline_kernel`.
+
+    Each (i, j) grid step OWNS its (1, 1, 4*NS, 3*EM) coefficient-
+    cotangent output block (unlike the dense kernel's ``+=`` into a
+    shared (T_in, 3*EM) block), so the only sequential-grid accumulators
+    left are the small ``dc``/``dloc``/``dlam`` reductions."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    em = c_ref.shape[-1]
+    lam = lam_ref[0, 0]
+    lx, ly, lz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
+    spos = jnp.dot(
+        e_ref[0], src_ref[0, 0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dpos = jnp.dot(
+        e_ref[0], dst_ref[0, 0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    gre = gre_ref[0, 0, 0, :][:, None]
+    gim = gim_ref[0, 0, 0, :][:, None]
+    g_src, g_dst, g_c_row, g_loc, g_lam = _bwd_math(
+        lam, lx, ly, lz, spos, dpos, c_ref[0, 0], gre, gim, em
+    )
+    dsrc_ref[0, 0] = jnp.dot(
+        e_ref[0].T, g_src, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (4*NS, 3*EM)
+    ddst_ref[0, 0] = jnp.dot(
+        e_ref[0].T, g_dst, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        dc_ref[0, 0] = jnp.zeros_like(dc_ref[0, 0])
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        dloc_ref[0, 0] = 0.0
+        dloc_ref[0, 1] = 0.0
+        dloc_ref[0, 2] = 0.0
+        dlam_ref[0, 0] = 0.0
+
+    dc_ref[0, 0] += g_c_row
+    dloc_ref[0, 0] += g_loc[0]
+    dloc_ref[0, 1] += g_loc[1]
+    dloc_ref[0, 2] += g_loc[2]
+    dlam_ref[0, 0] += g_lam
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _spline_kernel_op(e, src, dst, c, loc, lam, tile):
+    """Spline-path kernel boundary: monomial tiles + gathered coefficient
+    tiles + bone stats -> padded complex signal.
+
+    Gradient contract: ``e`` (the monomial evaluation constant) gets a
+    ZERO cotangent; ``src``/``dst`` are the TILED coefficient tensors
+    (N, num_tiles, 4*NS, 3*EM) whose cotangent flows back through the
+    caller's (differentiable) gather + coefficient einsum."""
+    return _spline_fwd_impl(e, src, dst, c, loc, lam, tile)
+
+
+def _spline_fwd_impl(e, src, dst, c, loc, lam, tile):
+    n = src.shape[0]
+    num_tiles, _, ns4 = e.shape
+    em = src.shape[-1] // 3
+    lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+    loc2 = jnp.asarray(loc, jnp.float32).reshape(1, 3)
+    interpret = jax.default_backend() == "cpu"
+    re, im = pl.pallas_call(
+        _radar_spline_kernel,
+        grid=(n, num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile, ns4), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 1, ns4, 3 * em), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, ns4, 3 * em), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, tile), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, tile), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, num_tiles, 1, tile), jnp.float32),
+            jax.ShapeDtypeStruct((n, num_tiles, 1, tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lam2, loc2, e, src, dst, c.reshape(n, 1, em))
+    return re.reshape(n, num_tiles * tile), im.reshape(n, num_tiles * tile)
+
+
+def _spline_vjp_fwd(e, src, dst, c, loc, lam, tile):
+    out = _spline_fwd_impl(e, src, dst, c, loc, lam, tile)
+    return out, (e, src, dst, c, loc, lam)
+
+
+def _spline_vjp_bwd(tile, residuals, g):
+    e, src, dst, c, loc, lam = residuals
+    gre, gim = g
+    n = src.shape[0]
+    num_tiles, _, ns4 = e.shape
+    em = src.shape[-1] // 3
+    lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+    loc2 = jnp.asarray(loc, jnp.float32).reshape(1, 3)
+    interpret = jax.default_backend() == "cpu"
+    dsrc, ddst, dc, dloc, dlam = pl.pallas_call(
+        _radar_spline_bwd_kernel,
+        grid=(n, num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile, ns4), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 1, ns4, 3 * em), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, ns4, 3 * em), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, tile), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, tile), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, ns4, 3 * em), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, ns4, 3 * em), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, num_tiles, ns4, 3 * em), jnp.float32),
+            jax.ShapeDtypeStruct((n, num_tiles, ns4, 3 * em), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, em), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        lam2, loc2, e, src, dst, c.reshape(n, 1, em),
+        gre.reshape(n, num_tiles, 1, tile),
+        gim.reshape(n, num_tiles, 1, tile),
+    )
+    return (
+        jnp.zeros_like(e),  # monomial constant by contract
+        dsrc,
+        ddst,
+        dc.reshape(c.shape),
+        dloc.reshape(np.shape(loc)),
+        dlam.reshape(np.shape(lam)),
+    )
+
+
+_spline_kernel_op.defvjp(_spline_vjp_fwd, _spline_vjp_bwd)
+
+
+def _bone_length_mean_sq_spline(bcoef_tiled, e, t_out):
+    """``c = (mean_t ||bone||)^2`` from the tiled BONE coefficients
+    (= dst coefficients - src coefficients, by linearity of the
+    resampler) — the padded bones are evaluated tile-by-tile in a scan
+    and never materialized, and the dense operator is not needed at all.
+    Pad rows of ``e`` are all-zero, so no validity mask is required."""
+    from jax import lax
+
+    n, num_tiles, ns4, f = bcoef_tiled.shape
+    em = f // 3
+
+    def body(acc, inputs):
+        e_j, b_j = inputs  # (tile, ns4), (N, ns4, 3*EM)
+        b = jnp.einsum(
+            "rk,nkf->nrf", e_j, b_j,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(n, -1, 3, em)
+        s = jnp.sum(b * b, axis=2)  # (N, tile, EM)
+        # zero-gradient-at-zero norm: all-zero padded bodies are routine
+        zero = s == 0
+        length = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, s)))
+        return acc + jnp.sum(length, axis=1), None
+
+    total, _ = lax.scan(
+        body,
+        jnp.zeros((n, em), bcoef_tiled.dtype),
+        (e, jnp.moveaxis(bcoef_tiled, 1, 0)),
+    )
+    return (total / t_out) ** 2  # (N, EM)
+
+
+def radar_return_spline(
+    x_raw,
+    num_pad_frames: int,
+    radar_location,
+    wavelength,
+    edges: Sequence[Tuple[int, int]] = tuple(RADAR_EDGES),
+    tile: int = _TILE,
+    sigma: float = 3.0,
+):
+    """Spline-factorized fused radar return: numerically equivalent to
+    :func:`radar_return_fused` with
+    ``pad_operator = pad_frames_operator(T_in, num_pad_frames, sigma)``
+    (same results up to f32 rounding; the factorization itself is exact
+    in float64 — ``tests/test_ops.py::test_spline_tile_plan_matches_
+    operator``), but the resampling contraction is ~19x narrower and the
+    dense operator never exists on device.
+
+    Fully differentiable w.r.t. the joints, radar location, and
+    wavelength: the kernel stage carries a hand-derived Pallas backward
+    emitting per-tile coefficient cotangents; the coefficient einsum and
+    segment gather chain through ordinary JAX autodiff (the gather's
+    transpose is the segment scatter-add).
+    """
+    from skeleton_action_recognition_tpu.ops.resample import (
+        spline_tile_plan,
+    )
+    from jax import lax
+
+    src_idx = np.asarray([e[0] for e in edges])
+    dst_idx = np.asarray([e[1] for e in edges])
+    t_in = x_raw.shape[2]
+    tile = int(tile)
+    t_out = t_in * int(num_pad_frames)
+    cc_np, tile_seg_np, ev_np = spline_tile_plan(
+        t_in, int(num_pad_frames), tile, float(sigma)
+    )
+    num_tiles, _, ns4 = ev_np.shape
+    nseg = t_in - 1
+
+    src, dst = _gather_features(x_raw, src_idx, dst_idx)  # (N, T_in, 3EM)
+    n, _, f = src.shape
+    cc = jnp.asarray(cc_np)
+    hi = jax.lax.Precision.HIGHEST
+    scoef_s = jnp.einsum("qt,ntf->nqf", cc, src, precision=hi)
+    scoef_d = jnp.einsum("qt,ntf->nqf", cc, dst, precision=hi)
+    gather = lambda s: (
+        s.reshape(n, nseg, 4, f)[:, tile_seg_np]
+        .reshape(n, num_tiles, ns4, f)
+    )
+    tiled_s, tiled_d = gather(scoef_s), gather(scoef_d)
+    e = lax.stop_gradient(jnp.asarray(ev_np))
+
+    c = _bone_length_mean_sq_spline(tiled_d - tiled_s, e, t_out)
+    re, im = _spline_kernel_op(
+        e, tiled_s, tiled_d, c,
+        jnp.asarray(radar_location, jnp.float32),
+        jnp.asarray(wavelength, jnp.float32), tile,
+    )
+    return re[:, :t_out], im[:, :t_out]

@@ -237,3 +237,57 @@ def test_stft_polyphase_and_conv_paths_agree():
     g_ref[1 : pad + 1] += gpad[:pad][::-1]
     g_ref[t - pad - 1 : t - 1] += gpad[pad + t :][::-1]
     np.testing.assert_allclose(g_poly, g_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_spline_factorization_matches_operator():
+    """The (nseg*4, t_in) coefficient operator must reconstruct the
+    dense smooth+cubic-interp operator exactly (float64)."""
+    from skeleton_action_recognition_tpu.ops.resample import (
+        pad_frames_operator,
+        spline_coefficient_operator,
+    )
+
+    t_in, pad = 30, 20
+    t_out = t_in * pad
+    dense = pad_frames_operator(t_in, pad, dtype=np.float64)
+    cc, xs = spline_coefficient_operator(t_in)
+    nseg = t_in - 1
+    cc = cc.reshape(nseg, 4, t_in)
+    t = np.linspace(0.0, 1.0, t_out)
+    seg = np.minimum(
+        np.searchsorted(xs, t, side="right") - 1, nseg - 1
+    )
+    u = t - xs[seg]
+    rebuilt = np.zeros((t_out, t_in))
+    for k in range(4):
+        rebuilt += cc[seg, k, :] * (u ** (3 - k))[:, None]
+    np.testing.assert_allclose(rebuilt, dense, atol=1e-9)
+
+
+def test_spline_tile_plan_matches_operator():
+    """eval_mat[j] @ coeffs[tile_seg[j]] must reproduce each dense
+    operator tile (f32 inputs, float64 accumulate), including the
+    zero-padded rows of the last partial tile."""
+    from skeleton_action_recognition_tpu.ops.resample import (
+        pad_frames_operator,
+        spline_tile_plan,
+    )
+
+    t_in, pad, tile = 30, 20, 128  # t_out=600 -> 5 tiles, 40 pad rows
+    dense = pad_frames_operator(t_in, pad, dtype=np.float64)
+    cc, tile_seg, ev = spline_tile_plan(t_in, pad, tile)
+    nseg = t_in - 1
+    num_tiles, _, ns4 = ev.shape
+    assert num_tiles == 5 and tile_seg.shape[1] == ns4 // 4
+    coeffs = cc.reshape(nseg, 4, t_in)
+    rebuilt = np.concatenate(
+        [
+            ev[j].astype(np.float64)
+            @ coeffs[tile_seg[j]].reshape(ns4, t_in)
+            for j in range(num_tiles)
+        ]
+    )
+    np.testing.assert_allclose(
+        rebuilt[: t_in * pad], dense, atol=2e-6
+    )
+    assert np.all(rebuilt[t_in * pad :] == 0.0)
