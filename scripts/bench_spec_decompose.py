@@ -96,6 +96,57 @@ def main():
             x,
         )
 
+    from skeleton_action_recognition_tpu.ops.pallas.radar import (
+        radar_return_spline,
+    )
+
+    if sel("spline_fwd"):
+        timeit(
+            "spline_fwd",
+            lambda x, c: radar_return_spline(
+                x + c * 0, PAD, loc, lam
+            )[0].mean() * 1e-9,
+            x,
+        )
+    if sel("spline_train"):
+        g = jax.grad(
+            lambda x: radar_return_spline(x, PAD, loc, lam)[0].sum()
+        )
+        timeit(
+            "spline_train",
+            lambda x, c: g(x + c * 0).mean() * 1e-9,
+            x,
+        )
+
+    if sel("stft"):
+        # STFT fwd+bwd in isolation at the radar output shape
+        from skeleton_action_recognition_tpu.ops import stft as stft_ops
+
+        cos, sin = stft_ops.stft_basis(256)
+        cosj, sinj = jnp.asarray(cos), jnp.asarray(sin)
+        sig_re = jnp.asarray(
+            rng.normal(size=(BATCH, T_IN * PAD)).astype(np.float32)
+        )
+        sig_im = jnp.asarray(
+            rng.normal(size=(BATCH, T_IN * PAD)).astype(np.float32)
+        )
+
+        def stft_loss(re, im):
+            sr, si = stft_ops.stft_complex(re, im, 16, cosj, sinj)
+            return stft_ops.log_magnitude(sr, si).sum()
+
+        gf = jax.grad(stft_loss, argnums=(0, 1))
+        timeit(
+            "stft_fwd",
+            lambda a, b, c: stft_loss(a + c * 0, b).mean() * 1e-9,
+            sig_re, sig_im,
+        )
+        timeit(
+            "stft_train",
+            lambda a, b, c: gf(a + c * 0, b)[0].mean() * 1e-9,
+            sig_re, sig_im,
+        )
+
     model = spectrogram.VirtualRadar(
         num_pad_frames=PAD, use_pallas=True, wavelength=5e-4,
     )

@@ -161,6 +161,43 @@ def check_radar(d):
         absmax=float(jnp.abs(g).max()),
     )
 
+    # ---- spline-factorized kernel family (the model's use_pallas
+    # default): same stages as the dense kernel ----
+    from skeleton_action_recognition_tpu.ops.pallas.radar import (
+        radar_return_spline,
+    )
+
+    re_s, im_s = jax.jit(
+        lambda x: radar_return_spline(x, 20, loc, lam, tile=128)
+    )(x)
+    a_re, r_re = _err(re_s, re_x)
+    a_im, r_im = _err(im_s, im_x)
+    _record(
+        "spline_fwd@lam5e-4",
+        a_re <= 2e-3 * scale and a_im <= 2e-3 * scale,
+        rel_re=r_re, rel_im=r_im,
+    )
+
+    def loss_s(x, lam_):
+        re, im = radar_return_spline(x, 20, loc, lam_, tile=128)
+        return jnp.sum(re * re + im * im)
+
+    gx_s, gl_s = jax.jit(jax.grad(loss_s, argnums=(0, 1)))(x, lam_b)
+    a_gx, _ = _err(gx_s, gx_x)
+    _, r_gl = _err(gl_s, gl_x)
+    _record(
+        "spline_bwd@lam10",
+        a_gx <= 1e-2 * gs and r_gl <= 1e-2,
+        rel_gx=a_gx / gs, rel_glam=r_gl,
+    )
+
+    g = jax.jit(jax.grad(loss_s))(x, lam)
+    _record(
+        "spline_bwd@lam5e-4_finite",
+        np.isfinite(np.asarray(g)).all(),
+        absmax=float(jnp.abs(g).max()),
+    )
+
 
 def check_sgcn():
     from skeleton_action_recognition_tpu.graphs.ntu_rgb_d import Graph

@@ -108,12 +108,11 @@ def get_parser() -> argparse.ArgumentParser:
         "--dtype", default="float32", choices=["float32", "bfloat16"],
         help="compute dtype for matmul-heavy layers (params stay f32)",
     )
-    parser.add_argument(
-        "--fused-tconv", action="store_true",
-        help="run stride-1 temporal convs through the fused Pallas "
-        "training kernel (BN+ReLU+conv+stats in one VMEM pass); "
-        "checkpoints stay interchangeable with the stock path",
-    )
+    # NB: the fused temporal-conv kernel (ops/pallas/tconv.py) stays
+    # available on the model as `fused_tconv=True` for experiments, but
+    # is deliberately NOT a CLI flag: it measures 25% SLOWER end-to-end
+    # than the stock path on v5e (275 vs 382 clips/s — VP-padding and
+    # fine-grid overheads outweigh the saved BN/elementwise passes).
     parser.add_argument(
         "--fused-sgcn", action="store_true",
         help="run the spatial graph conv through the fused Pallas "
@@ -161,8 +160,6 @@ def main(argv=None):
         model_kwargs["dtype"] = jnp.bfloat16
     if arg.trainable_adjacency and "trainable_adjacency" in fields:
         model_kwargs["trainable_adjacency"] = True
-    if arg.fused_tconv and "fused_tconv" in fields:
-        model_kwargs["fused_tconv"] = True
     if arg.fused_sgcn and "fused_sgcn" in fields:
         model_kwargs["fused_sgcn"] = True
     model = model_cls(**model_kwargs)
@@ -292,6 +289,10 @@ def main(argv=None):
         cm = metrics_lib.ConfusionMatrix(arg.num_classes)
         epoch_acc = metrics_lib.Accuracy()
         epoch_acc5 = metrics_lib.Accuracy()
+        # deferred like the train loop: queue device-side probs, one
+        # fetch for the whole epoch (a per-step np.asarray blocks the
+        # next step's dispatch; on the lazy tunnel it replays the chain)
+        pending_eval = []
         for xb, yb in test_data.batches():
             n = len(xb)
             if n < global_batch:
@@ -303,7 +304,15 @@ def main(argv=None):
                 )
             # every process decodes the full test set in the same order,
             # so the identical-data global placement is valid multi-host
-            probs = np.asarray(eval_step(state, dp.shard_batch(xb)))[:n]
+            pending_eval.append(
+                (eval_step(state, dp.shard_batch(xb)), n, yb)
+            )
+        for probs, n, yb in zip(
+            jax.device_get([p for p, _, _ in pending_eval]),
+            [n for _, n, _ in pending_eval],
+            [y for _, _, y in pending_eval],
+        ):
+            probs = np.asarray(probs)[:n]
             labels = yb.argmax(-1)
             preds = probs.argmax(-1)
             top5 = np.argsort(probs, axis=-1)[:, -5:]

@@ -244,7 +244,12 @@ def main(argv=None):
                         f"{phase}_acc", acc_m.result(), step_idx
                     )
             else:
-                for i, (xb, yb) in enumerate(datasets[phase].batches()):
+                # same deferred pattern as train: queue the device-side
+                # prob tensors and fetch once — a per-step np.asarray
+                # blocks the next step's dispatch (and on the lazy
+                # tunnel backend, replays the chain)
+                pending = []
+                for xb, yb in datasets[phase].batches():
                     n = len(xb)
                     if n < global_batch:
                         # pad the final partial batch so the sharded eval
@@ -255,9 +260,15 @@ def main(argv=None):
                              np.zeros((global_batch - n,) + xb.shape[1:],
                                       xb.dtype)]
                         )
-                    probs = np.asarray(
-                        eval_step(state, dp.shard_batch(xb))
-                    )[:n]
+                    pending.append(
+                        (eval_step(state, dp.shard_batch(xb)), n, yb)
+                    )
+                for i, (probs, n, yb) in enumerate(
+                    zip(jax.device_get([p for p, _, _ in pending]),
+                        [n for _, n, _ in pending],
+                        [y for _, _, y in pending])
+                ):
+                    probs = np.asarray(probs)[:n]
                     preds = probs.argmax(-1)
                     labels = np.asarray(yb).argmax(-1)
                     acc_m.update(

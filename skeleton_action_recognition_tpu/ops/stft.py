@@ -127,16 +127,32 @@ def stft_complex(re, im, hop: int, cos, sin, center: bool = True):
     """STFT of a complex signal given as two real channels.
 
     Implements the complex-via-two-real-STFTs identity of
-    ``layers/virtual_radar.py:27-34`` with the four basis contractions done
-    directly:
+    ``layers/virtual_radar.py:27-34``:
 
       ``Re_out = re*cos + im*sin``,  ``Im_out = -re*sin + im*cos``.
-    """
-    re_cos = _frame_matmul(re, cos, hop, center)
-    re_sin = _frame_matmul(re, sin, hop, center)
-    im_cos = _frame_matmul(im, cos, hop, center)
-    im_sin = _frame_matmul(im, sin, hop, center)
-    return re_cos + im_sin, im_cos - re_sin
+
+    The four basis contractions run as ONE framing + ONE matmul by
+    stacking (re, im) on the batch axis and (cos, sin) on the basis
+    axis: each signal is framed once instead of twice, the MXU sees a
+    single (2B*frames, n_fft) x (n_fft, 2F) contraction, and — the real
+    win — the backward pays ONE overlap-add framing transpose instead of
+    four (the framing tensors at production radar shapes are ~76MB
+    each)."""
+    f = cos.shape[0]
+    lead = re.shape[:-1]
+    r2 = re.reshape((-1, re.shape[-1]))
+    i2 = im.reshape((-1, im.shape[-1]))
+    b = r2.shape[0]
+    sig = jnp.concatenate([r2, i2], axis=0)  # (2B, T)
+    basis = jnp.concatenate([cos, sin], axis=0)  # (2F, n_fft)
+    out = _frame_matmul(sig, basis, hop, center)  # (2B, 2F, frames)
+    rc, rs = out[:b, :f], out[:b, f:]
+    ic, is_ = out[b:, :f], out[b:, f:]
+    tail = rc.shape[1:]
+    return (
+        (rc + is_).reshape(lead + tail),
+        (ic - rs).reshape(lead + tail),
+    )
 
 
 def log_magnitude(re, im, eps: float = 1e-6, fftshift: bool = True):
