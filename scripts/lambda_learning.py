@@ -3,28 +3,62 @@
 The reference intends staged unfreezing of the radar wavelength
 (``main_spectrogram.py:128-136``) but it is a silent no-op there (the
 ``radar_lambda`` name never matches a parameter). This framework's
-schedule works — and this experiment shows it *helps*, not merely that
-training stays finite:
+schedule works — this experiment shows it *helps*, not merely that
+training stays finite.
 
-* three runs on the SAME synthetic corpus (reuses the ``corpus_e2e.py``
-  artifacts): (a) wavelength frozen at a detuned value, (b) same detuned
-  init but ``--lambda-train-epoch 0`` so radar_lambda unfreezes after
-  epoch 0, (c) wavelength frozen at the good value (the accuracy target);
-* success = unfrozen (b) beats frozen (a) on val top-1 AND its
-  radar_lambda trajectory moves from the detuned init toward the good
-  value (the micro-Doppler band the class-keyed oscillations occupy at
-  the corpus's motion scale).
+Experiment design (v2 — v1's negative result and why)
+-----------------------------------------------------
+v1 ran frozen-vs-unfrozen on the ``corpus_e2e.py`` corpus and FAILED:
+frozen-at-detuned already reached 0.998 val top-1, so there was no
+accuracy pressure on lambda, and lambda random-walked. Root cause: that
+corpus's load-bearing class signal is a *static pose deformation*
+(``corpus_e2e.make_clip`` docstring), which survives any wavelength —
+the spectrogram's amplitude structure alone separates the classes.
 
-Physics of the detune: every Doppler shift is ``2 v / lambda``; a 4x too
-large wavelength compresses all class-distinguishing micro-Doppler bands
-4x toward DC where the STFT's resolution cannot separate them, so the
-gradient through the spectrogram pushes lambda down.
+v2 synthesizes a corpus whose ONLY class signal is micro-Doppler
+structure that a detuned wavelength genuinely destroys:
 
-Writes ``runs/lambda_learning_REPORT.{json,md}``.
+* one rigid hand cluster (right hand + tip + thumb, joints 11/23/24)
+  oscillates laterally; every other joint is static. Class = the
+  oscillation frequency ``f_c`` (geometric ladder).
+* sinusoidal displacement of amplitude ``a`` at ``f`` cycles/clip gives
+  a phase modulation ``beta*sin(2*pi*f_m*n)`` with index
+  ``beta = 4*pi*a_r/lambda`` (radial amplitude ``a_r``), i.e. a
+  micro-Doppler band of half-width ``beta*f_m`` cycles/sample
+  = ``4*pi*a_r*f/(lambda*T_up) * n_fft`` STFT bins.
+* the amplitude is tuned so the band half-widths span ~4-40 bins at the
+  good wavelength but collapse to ~0.6-7 bins at a 6x-too-large one:
+  the lower half of the class ladder becomes sub-bin — indistinguishable
+  smears at DC — so detuning measurably costs accuracy, and the CE
+  gradient through the spectrogram rewards shrinking lambda (bands
+  spread apart again).
+* per-sample STATIC pose jitter decorrelates the static inter-edge
+  interference phases ``4*pi*(d1-d2)/lambda`` across samples (the
+  oscillatory component of dL/dlambda), so the batch-mean lambda
+  gradient is dominated by the smooth band-position envelope. (The
+  per-sample world offset alone cannot do this: pre-normalization's
+  centering removes it exactly.)
 
-Usage (after ``scripts/corpus_e2e.py`` has populated ``--workdir``):
+Three runs on this corpus: (a) wavelength frozen at the detuned value,
+(b) same detuned init, ``--lambda-train-epoch 2`` staged unfreeze (the
+reference's intended schedule), (c) frozen at the good value (the
+ceiling). Success = best val top-1 of (b) >= (a) AND (b)'s final
+radar_lambda is closer to the good value than the detuned init.
 
-    python scripts/lambda_learning.py [--epochs 12] [--detune 4.0]
+Stages (all via ``--stage``, default ``all``):
+
+* ``synth``: write the .skeleton corpus + run the production data_gen
+  chain (same path as ``corpus_e2e.py``).
+* ``probe``: no-training separability check — nearest-centroid accuracy
+  on pooled spectrograms at the good vs detuned wavelength. Cheap
+  (~2 min on TPU); verifies the corpus design delivers contrast before
+  burning three training runs.
+* ``train``: the three CLI runs; writes
+  ``runs/lambda_learning_REPORT.{json,md}``.
+
+Usage:
+
+    python scripts/lambda_learning.py [--stage all] [--detune 6.0]
 """
 
 from __future__ import annotations
@@ -37,20 +71,149 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from scripts.corpus_e2e import BASE_POSE, write_skeleton_file  # noqa: E402
+
 GOOD_LAMBDA = 5e-4  # the spectrogram model default (reference value)
+NUM_CLASSES = 15
+CLIPS_PER_CLASS = 120  # cam 1 (1/3) -> val, cams 2-3 -> train
+CLIP_T = 300           # == max_frame: no null-frame repetition
+FREQ_LO, FREQ_HI = 1.2, 12.0   # cycles/clip, geometric ladder
+HAND = (11, 23, 24)    # right hand, hand tip, thumb (0-indexed)
+AMP = 0.04             # meters, lateral hand oscillation
 
 
-def run_cli(tag, workdir, logs, args, extra):
-    xview = os.path.join(workdir, "ntu", "xview")
+def class_freqs():
+    r = (FREQ_HI / FREQ_LO) ** (1.0 / (NUM_CLASSES - 1))
+    return [FREQ_LO * r ** c for c in range(NUM_CLASSES)]
+
+
+def make_clip(label: int, rng: np.random.Generator) -> np.ndarray:
+    """(T,25,3) clip: static base pose + per-sample static jitter, with
+    the rigid hand cluster oscillating along x at the class frequency."""
+    f = class_freqs()[label] * rng.uniform(0.97, 1.03)
+    phase = rng.uniform(0, 2 * np.pi)
+    pose = BASE_POSE + rng.normal(scale=0.02, size=(25, 3))
+    tt = np.linspace(0.0, 1.0, CLIP_T, dtype=np.float32)
+    osc = AMP * np.sin(2 * np.pi * f * tt + phase)
+    clip = np.repeat(pose[None], CLIP_T, axis=0)
+    for j in HAND:
+        clip[:, j, 0] += osc
+    clip += rng.normal(scale=0.003, size=clip.shape)
+    clip += rng.normal(scale=0.1, size=(1, 1, 3))  # world offset
+    return clip.astype(np.float32)
+
+
+def synthesize(raw_dir: str, seed: int = 11) -> int:
+    os.makedirs(raw_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n = 0
+    for label in range(NUM_CLASSES):
+        for s in range(CLIPS_PER_CLASS):
+            cam = (s % 3) + 1
+            name = (
+                f"S{(s % 17) + 1:03d}C{cam:03d}P{(s % 40) + 1:03d}"
+                f"R{(s % 2) + 1:03d}A{label + 1:03d}.skeleton"
+            )
+            write_skeleton_file(
+                os.path.join(raw_dir, name), make_clip(label, rng)
+            )
+            n += 1
+    return n
+
+
+def stage_synth(args):
+    raw = os.path.join(args.workdir, "raw")
+    out = os.path.join(args.workdir, "ntu")
+    if not os.path.isdir(raw) or not os.listdir(raw):
+        t0 = time.time()
+        n = synthesize(raw)
+        print(f"synthesized {n} .skeleton files in {time.time()-t0:.1f}s")
+    skip = os.path.join(args.workdir, "missing.txt")
+    open(skip, "a").close()
+    if not os.path.exists(
+        os.path.join(out, "xview", "train_data_joint.npy")
+    ):
+        cmd = [
+            sys.executable, "-m",
+            "skeleton_action_recognition_tpu.cli.data_gen",
+            "--data-path", raw, "--ignored-sample-path", skip,
+            "--out-folder", out, "--benchmarks", "xview",
+            "--num-shards", "4",
+        ]
+        print("+", " ".join(cmd), flush=True)
+        subprocess.run(cmd, cwd=_REPO, check=True)
+
+
+def stage_probe(args):
+    """Nearest-centroid separability of pooled spectrograms per lambda.
+
+    Not a classifier benchmark — a cheap go/no-go: the corpus only
+    supports the experiment if good-lambda separability is high AND
+    detuned-lambda separability has genuinely collapsed."""
+    import jax
+    import jax.numpy as jnp
+    from skeleton_action_recognition_tpu.models import spectrogram
+
+    xview = os.path.join(args.workdir, "ntu", "xview")
+    per = 24  # clips per class for the probe
+    data = np.load(os.path.join(xview, "train_data_joint.npy"),
+                   mmap_mode="r")
+    import pickle
+    with open(os.path.join(xview, "train_label.pkl"), "rb") as fh:
+        _, labels = pickle.load(fh)
+    labels = np.asarray(labels)
+    idx = np.concatenate([
+        np.nonzero(labels == c)[0][:per] for c in range(NUM_CLASSES)
+    ])
+    x = jnp.asarray(np.array(data[idx]), jnp.float32)
+    y = labels[idx]
+
+    results = {}
+    for tag, lam in [("good", GOOD_LAMBDA),
+                     ("detuned", args.detune * GOOD_LAMBDA)]:
+        model = spectrogram.VirtualRadar(
+            num_pad_frames=250, wavelength=lam, use_pallas=True,
+        )
+        params = model.init(jax.random.key(0), x[:1])
+
+        @jax.jit
+        def spec_fn(xb, params=params, model=model):
+            s = model.apply(params, xb)
+            # pool (B,256,F) -> (B,32,32) descriptors
+            b, nf, nt = s.shape
+            s = s[:, :, : (nt // 32) * 32]
+            s = s.reshape(b, 32, nf // 32, 32, -1).mean((2, 4))
+            return s
+
+        feats = []
+        for i in range(0, x.shape[0], 8):
+            feats.append(np.asarray(spec_fn(x[i:i + 8])))
+        f = np.concatenate(feats).reshape(len(idx), -1)
+        f = (f - f.mean(0)) / (f.std(0) + 1e-6)
+        tr = np.arange(len(idx)) % per < per // 2
+        cents = np.stack([
+            f[tr & (y == c)].mean(0) for c in range(NUM_CLASSES)
+        ])
+        d = ((f[~tr, None] - cents[None]) ** 2).sum(-1)
+        acc = float((d.argmin(1) == y[~tr]).mean())
+        results[tag] = {"lambda": lam, "centroid_acc": round(acc, 4)}
+        print(f"{tag}: lambda={lam:g} centroid_acc={acc:.4f}", flush=True)
+    return results
+
+
+def run_cli(tag, args, logs, extra):
+    xview = os.path.join(args.workdir, "ntu", "xview")
     cmd = [
         sys.executable, "-m",
         "skeleton_action_recognition_tpu.cli.main_spectrogram",
         "--num-epochs", str(args.epochs),
-        "--num-classes", "60",
+        "--num-classes", str(NUM_CLASSES),
         "--batch-size", str(args.batch_size),
         "--base-lr", "1e-3",
         "--data-path", os.path.join(xview, "{}_data_joint.npy"),
@@ -80,90 +243,99 @@ def run_cli(tag, workdir, logs, args, extra):
     }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--workdir", default="/tmp/corpus_e2e")
-    ap.add_argument("--epochs", type=int, default=12)
-    ap.add_argument("--batch-size", type=int, default=64)
-    ap.add_argument(
-        "--detune", type=float, default=4.0,
-        help="detuned init = detune * GOOD_LAMBDA",
-    )
-    ap.add_argument(
-        "--lambda-rel-step", type=float, default=2e-2,
-        help="per-step relative lambda move once unfrozen (ln(4)/2e-2 "
-        "~ 70 steps to cross a 4x detune)",
-    )
-    args = ap.parse_args()
-
-    xview = os.path.join(args.workdir, "ntu", "xview")
-    if not os.path.exists(os.path.join(xview, "train_data_joint.npy")):
-        raise SystemExit(
-            f"corpus artifacts missing under {xview}; run "
-            "scripts/corpus_e2e.py first"
-        )
-    logs = os.path.join(args.workdir, "logs_lamlearn")
+def stage_train(args, probe=None):
+    logs = os.path.join(args.workdir, "logs")
     detuned = args.detune * GOOD_LAMBDA
-
     report = {
+        "design": "v2 micro-Doppler frequency-ladder corpus "
+                  "(see scripts/lambda_learning.py docstring)",
+        "num_classes": NUM_CLASSES,
         "good_lambda": GOOD_LAMBDA,
         "detuned_lambda": detuned,
         "epochs": args.epochs,
         "lambda_rel_step": args.lambda_rel_step,
+        "unfreeze_epoch": args.unfreeze_epoch,
+        "probe": probe,
     }
     report["frozen_detuned"] = run_cli(
-        "frozen", args.workdir, logs, args,
-        ["--wavelength", str(detuned)],
-    )
+        "frozen", args, logs, ["--wavelength", str(detuned)])
     report["unfrozen_detuned"] = run_cli(
-        "unfrozen", args.workdir, logs, args,
+        "unfrozen", args, logs,
         ["--wavelength", str(detuned),
-         "--lambda-train-epoch", "0",
+         "--lambda-train-epoch", str(args.unfreeze_epoch),
          "--lambda-rel-step", str(args.lambda_rel_step)],
     )
     report["frozen_good"] = run_cli(
-        "good", args.workdir, logs, args,
-        ["--wavelength", str(GOOD_LAMBDA)],
-    )
+        "good", args, logs, ["--wavelength", str(GOOD_LAMBDA)])
 
     fr = report["frozen_detuned"]["best_val_acc"]
     un = report["unfrozen_detuned"]["best_val_acc"]
     traj = report["unfrozen_detuned"]["lambda_trajectory"]
-    moved_toward_good = bool(
+    moved = bool(
         traj and abs(traj[-1] - GOOD_LAMBDA) < abs(detuned - GOOD_LAMBDA)
     )
-    report["unfrozen_beats_frozen"] = bool(un is not None and fr is not None
-                                           and un >= fr)
-    report["lambda_moved_toward_good"] = moved_toward_good
+    report["unfrozen_beats_frozen"] = bool(
+        un is not None and fr is not None and un >= fr
+    )
+    report["lambda_moved_toward_good"] = moved
 
     dst = os.path.join(_REPO, "runs")
     os.makedirs(dst, exist_ok=True)
     with open(os.path.join(dst, "lambda_learning_REPORT.json"), "w") as f:
         json.dump(report, f, indent=2)
-
+    good = report["frozen_good"]["best_val_acc"]
     lines = [
-        "# Learnable radar wavelength: frozen vs staged-unfreeze",
+        "# Learnable radar wavelength: frozen vs staged-unfreeze (v2)",
         "",
-        f"Corpus: `{args.workdir}` (from `scripts/corpus_e2e.py`), "
-        f"{args.epochs} epochs each, detuned init "
-        f"{detuned:g} vs good {GOOD_LAMBDA:g}.",
+        f"Corpus: {NUM_CLASSES}-class micro-Doppler frequency ladder "
+        f"(`scripts/lambda_learning.py`), {args.epochs} epochs each, "
+        f"detuned init {detuned:g} vs good {GOOD_LAMBDA:g}, unfreeze "
+        f"after epoch {args.unfreeze_epoch}.",
         "",
         "| run | best val top-1 | final lambda |",
         "|---|---|---|",
         f"| frozen @ detuned | {fr} | {detuned:g} |",
         f"| **unfrozen** @ detuned | {un} | "
-        f"{traj[-1] if traj else None:g} |",
-        f"| frozen @ good | {report['frozen_good']['best_val_acc']} | "
-        f"{GOOD_LAMBDA:g} |",
+        f"{traj[-1] if traj else float('nan'):g} |",
+        f"| frozen @ good | {good} | {GOOD_LAMBDA:g} |",
+        "",
+        f"Probe (nearest-centroid, no training): {probe}",
         "",
         f"lambda trajectory (unfrozen): {traj}",
         "",
         f"unfrozen >= frozen: {report['unfrozen_beats_frozen']}; "
-        f"lambda moved toward good value: {moved_toward_good}",
+        f"lambda moved toward good value: {moved}",
     ]
     with open(os.path.join(dst, "lambda_learning_REPORT.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps(report, indent=2))
+    print(json.dumps({k: report[k] for k in (
+        "unfrozen_beats_frozen", "lambda_moved_toward_good")}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/lambda_corpus")
+    ap.add_argument("--stage", default="all",
+                    choices=["synth", "probe", "train", "all"])
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--detune", type=float, default=6.0,
+                    help="detuned init = detune * GOOD_LAMBDA")
+    ap.add_argument("--unfreeze-epoch", type=int, default=2)
+    ap.add_argument(
+        "--lambda-rel-step", type=float, default=2e-2,
+        help="per-step relative lambda move once unfrozen (ln(6)/2e-2 "
+        "~ 90 consistent-sign steps to cross a 6x detune)",
+    )
+    args = ap.parse_args()
+
+    if args.stage in ("synth", "probe", "train", "all"):
+        stage_synth(args)
+    probe = None
+    if args.stage in ("probe", "all"):
+        probe = stage_probe(args)
+    if args.stage in ("train", "all"):
+        stage_train(args, probe)
 
 
 if __name__ == "__main__":
