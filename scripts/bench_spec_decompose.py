@@ -81,14 +81,14 @@ def main():
     if sel("radar_fwd"):
         timeit(
             "radar_fwd",
-            lambda x, c: radar_return_fused(
+            lambda x, c: sum(o.mean() for o in radar_return_fused(
                 x + c * 0, w, loc, lam
-            )[0].mean() * 1e-9,
+            )) * 1e-9,
             x,
         )
     if sel("radar_train"):
         g = jax.grad(
-            lambda x: radar_return_fused(x, w, loc, lam)[0].sum()
+            lambda x: sum(o.sum() for o in radar_return_fused(x, w, loc, lam))
         )
         timeit(
             "radar_train",
@@ -103,14 +103,14 @@ def main():
     if sel("spline_fwd"):
         timeit(
             "spline_fwd",
-            lambda x, c: radar_return_spline(
+            lambda x, c: sum(o.mean() for o in radar_return_spline(
                 x + c * 0, PAD, loc, lam
-            )[0].mean() * 1e-9,
+            )) * 1e-9,
             x,
         )
     if sel("spline_train"):
         g = jax.grad(
-            lambda x: radar_return_spline(x, PAD, loc, lam)[0].sum()
+            lambda x: sum(o.sum() for o in radar_return_spline(x, PAD, loc, lam))
         )
         timeit(
             "spline_train",
@@ -138,12 +138,12 @@ def main():
         gf = jax.grad(stft_loss, argnums=(0, 1))
         timeit(
             "stft_fwd",
-            lambda a, b, c: stft_loss(a + c * 0, b).mean() * 1e-9,
+            lambda a, b, c: stft_loss(a + c * 0, b + c * 0).mean() * 1e-9,
             sig_re, sig_im,
         )
         timeit(
             "stft_train",
-            lambda a, b, c: gf(a + c * 0, b)[0].mean() * 1e-9,
+            lambda a, b, c: gf(a + c * 0, b + c * 0)[0].mean() * 1e-9,
             sig_re, sig_im,
         )
 
@@ -151,6 +151,54 @@ def main():
         num_pad_frames=PAD, use_pallas=True, wavelength=5e-4,
     )
     vs = model.init(jax.random.key(0), x[:1])
+
+    if sel("chain_nolog"):
+        # radar -> STFT, grad wrt x, WITHOUT log-magnitude: isolates the
+        # log-mag fwd+bwd inside the composed chain
+        from skeleton_action_recognition_tpu.ops import stft as stft_ops
+        from skeleton_action_recognition_tpu.ops.pallas.radar import (
+            radar_return_spline as rrs,
+        )
+
+        cos, sin = stft_ops.stft_basis(256)
+        cosj, sinj = jnp.asarray(cos), jnp.asarray(sin)
+
+        def chain_nolog(x):
+            re, im = rrs(x, PAD, loc, lam)
+            sr, si = stft_ops.stft_complex(re, im, 16, cosj, sinj)
+            return sr.sum() + si.sum()
+
+        g = jax.grad(chain_nolog)
+        timeit(
+            "chain_nolog_train",
+            lambda x, c: g(x + c * 0).mean() * 1e-9,
+            x,
+        )
+
+    if sel("chain_randcot"):
+        # radar alone but with a DENSE random cotangent (what the STFT
+        # backward hands it), vs spline_train's all-ones cotangent
+        from skeleton_action_recognition_tpu.ops.pallas.radar import (
+            radar_return_spline as rrs2,
+        )
+
+        cot_re = jnp.asarray(
+            rng.normal(size=(BATCH, T_IN * PAD)).astype(np.float32)
+        )
+        cot_im = jnp.asarray(
+            rng.normal(size=(BATCH, T_IN * PAD)).astype(np.float32)
+        )
+
+        def loss_rc(x):
+            re, im = rrs2(x, PAD, loc, lam)
+            return jnp.vdot(re, cot_re) + jnp.vdot(im, cot_im)
+
+        g = jax.grad(loss_rc)
+        timeit(
+            "chain_randcot_train",
+            lambda x, c: g(x + c * 0).mean() * 1e-9,
+            x,
+        )
 
     if sel("spec_fwd"):
         timeit(
@@ -169,8 +217,8 @@ def main():
     if sel("model_train"):
         import optax
 
-        from skeleton_action_recognition_tpu.train import (
-            create_train_state,
+        from skeleton_action_recognition_tpu.train import create_train_state
+        from skeleton_action_recognition_tpu.train.steps import (
             make_radar_train_step,
         )
 

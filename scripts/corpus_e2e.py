@@ -311,6 +311,15 @@ def main():
         )
         report["spectrogram_train_seconds"] = round(dt, 1)
         report["spectrogram_tail"] = stdout.strip().splitlines()[-3:]
+        # per-epoch train throughput as printed by the CLI (epoch wall
+        # clock, i.e. including input pipeline + host work — the number
+        # VERDICT r2 weak-#2 tracks against the kernel bench)
+        report["spectrogram_train_clips_per_sec"] = [
+            float(m) for m in re.findall(
+                r"train Loss: \S+ Acc: \S+ \(\S+s, (\S+) clips/s\)",
+                stdout,
+            )
+        ]
 
         spec_dir = [d for d in os.listdir(logs) if "corpus_e2e_spec" in d][0]
         stdout, dt = run(

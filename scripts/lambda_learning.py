@@ -184,12 +184,12 @@ def stage_probe(args):
 
         @jax.jit
         def spec_fn(xb, params=params, model=model):
-            s = model.apply(params, xb)
-            # pool (B,256,F) -> (B,32,32) descriptors
-            b, nf, nt = s.shape
-            s = s[:, :, : (nt // 32) * 32]
-            s = s.reshape(b, 32, nf // 32, 32, -1).mean((2, 4))
-            return s
+            s = model.apply(params, xb)  # (B, n_fft, frames)
+            # band structure is the class signal: keep the full
+            # frequency axis, reduce time to mean + std profiles
+            return jnp.concatenate(
+                [s.mean(-1), s.std(-1)], axis=-1
+            )
 
         feats = []
         for i in range(0, x.shape[0], 8):

@@ -60,6 +60,14 @@ def get_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--notes", default="")
     parser.add_argument("--model-type", default="resnet")
+    parser.add_argument(
+        "--save-freq", type=int, default=5,
+        help="checkpoint every N epochs (the last epoch always saves). "
+        "The reference spectrogram trainer never checkpoints at all "
+        "(main_spectrogram.py); saving costs a full-state device fetch, "
+        "which on this image's lazily-executing TPU tunnel serializes "
+        "the pipeline — don't pay it every epoch",
+    )
     parser.add_argument("--lr_cycle", type=int, default=10)
     parser.add_argument("--lambda-train-epoch", type=int, default=1000)
     parser.add_argument("--loc-train-epoch", type=int, default=1000)
@@ -115,7 +123,7 @@ def main(argv=None):
     # --num-epochs must land in the SAME run directory
     for k in (
         "data_path", "label_path", "log_dir", "resume", "seed",
-        "lambda_rel_step", "loc_step", "num_epochs",
+        "lambda_rel_step", "loc_step", "num_epochs", "save_freq",
     ):
         run_params.pop(k, None)
     if arg.lambda_train_epoch > arg.num_epochs:
@@ -317,7 +325,8 @@ def main(argv=None):
             lam_f = float(np.asarray(jax.device_get(lam_val)))
             writer.add_scalar("radar_lambda", lam_f, epoch)
             print(f"radar_lambda: {lam_f:.6g}")
-        manager.save(epoch, jax.device_get(state), {"epoch": epoch})
+        if (epoch + 1) % arg.save_freq == 0 or epoch == arg.num_epochs - 1:
+            manager.save(epoch, jax.device_get(state), {"epoch": epoch})
     writer.close()
     manager.close()
 
