@@ -234,8 +234,12 @@ def main():
         )
 
         def body(x, c):
+            # thread the updated state into the result so the backward
+            # + optimizer update cannot be dead-code-eliminated
             s2, m = step(state, x + c * 0, y, False, False)
-            return m["loss"] * 1e-9
+            leaves = jax.tree_util.tree_leaves(s2.params)
+            anchor = sum(l.ravel()[0] for l in leaves)
+            return (m["loss"] + anchor * 1e-12) * 1e-9
 
         timeit("model_train", body, x)
 

@@ -33,6 +33,7 @@ class Predictor:
         mesh=None,
         axis: str = "data",
         fused: bool = False,
+        quantize: str | None = None,
     ):
         self.model = model
         self.max_batch = max_batch
@@ -45,18 +46,30 @@ class Predictor:
                 )
         variables = {"params": params, "batch_stats": batch_stats}
 
+        if quantize is not None and not fused:
+            raise ValueError("quantize requires fused=True")
         if fused:
-            from skeleton_action_recognition_tpu.models.export import (
-                fused_stgcn_predictor,
-            )
+            from skeleton_action_recognition_tpu.models import export
 
             # already jitted with the ~700 MB folded-weight pytree passed
             # as arguments — re-jitting here would inline it as program
             # constants and blow the compiler's input limits. With a mesh
             # the folded weights are replicated and the batch sharded over
             # ``axis`` (max_batch padding keeps the shape divisible).
-            fwd = fused_stgcn_predictor(
-                params, batch_stats, jit=True, mesh=mesh, axis=axis
+            factory = {
+                None: export.fused_stgcn_predictor,
+                "w8": export.quantized_stgcn_predictor,
+                "w8a8": export.int8_stgcn_predictor,
+            }.get(quantize, None)
+            if factory is None:
+                raise ValueError(
+                    f"quantize must be None, 'w8' (int8 weights) or "
+                    f"'w8a8' (int8 weights+activations), got {quantize!r}"
+                )
+            kwargs = {} if quantize else {"dtype": jnp.bfloat16}
+            fwd = factory(
+                params, batch_stats, jit=True, mesh=mesh, axis=axis,
+                **kwargs,
             )
 
             def forward(x):

@@ -88,3 +88,38 @@ def test_quantized_predictor_preserves_predictions(ntu_examples):
     # int8 storage actually used
     pred = export.QuantizedSTGCNPredictor(state.params, state.batch_stats)
     assert pred.weights[0]["wf_q"].dtype == jnp.int8
+
+
+def test_int8_w8a8_predictor_preserves_predictions(ntu_examples):
+    model, state, x = _trained_state(ntu_examples, steps=2)
+    reference = np.asarray(
+        model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+        )
+    )
+    quant = export.int8_stgcn_predictor(
+        state.params, state.batch_stats, jit=False
+    )
+    got = np.asarray(quant(x))
+    # W8A8: activation rounding roughly doubles the weight-only noise;
+    # logits stay close and argmax is preserved on this workload
+    assert np.abs(got - reference).max() < 1.0
+    np.testing.assert_array_equal(
+        got.argmax(-1), reference.argmax(-1)
+    )
+
+
+def test_quantize_rows_roundtrip():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 7, 33)).astype(np.float32) * 8)
+    q, scale = export._quantize_rows(x)
+    assert q.dtype == jnp.int8
+    deq = np.asarray(q, np.float32) * np.asarray(scale)[..., None]
+    # symmetric 8-bit: error bounded by half an LSB = scale/2 per entry
+    assert np.abs(deq - np.asarray(x)).max() <= np.asarray(scale).max() * 0.51
+    # all-zero rows must not divide by zero
+    z = jnp.zeros((2, 5))
+    qz, sz = export._quantize_rows(z)
+    assert np.all(np.asarray(qz) == 0) and np.all(np.asarray(sz) == 1.0)

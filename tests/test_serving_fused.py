@@ -52,3 +52,30 @@ def test_fused_serving_sharded_over_mesh(ntu_examples):
         serving.Predictor(
             model, params, bs, max_batch=6, mesh=mesh, fused=True
         )
+
+
+def test_quantized_serving_paths(ntu_examples):
+    x = np.asarray(ntu_examples[:2, :, :16])
+    model = stgcn.Model(num_classes=6)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.asarray(x), optax.sgd(0.1)
+    )
+    params = jax.device_get(state.params)
+    bs = jax.device_get(state.batch_stats)
+
+    stock = serving.Predictor(model, params, bs, max_batch=2)
+    ps = stock(x)
+    for q in ("w8", "w8a8"):
+        quant = serving.Predictor(
+            model, params, bs, max_batch=2, fused=True, quantize=q
+        )
+        pq = quant(x)
+        np.testing.assert_array_equal(ps.argmax(-1), pq.argmax(-1))
+        np.testing.assert_allclose(ps, pq, atol=0.1)
+
+    with pytest.raises(ValueError):
+        serving.Predictor(model, params, bs, quantize="w8a8")
+    with pytest.raises(ValueError):
+        serving.Predictor(
+            model, params, bs, fused=True, quantize="int4"
+        )
