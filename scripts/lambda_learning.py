@@ -76,6 +76,11 @@ import numpy as np
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+# the probe stage jit-compiles the spline radar kernel in-process; use
+# the TPU-primed persistent cache (jax reads this env var natively)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache")
+)
 
 from scripts.corpus_e2e import BASE_POSE, write_skeleton_file  # noqa: E402
 
@@ -223,7 +228,16 @@ def run_cli(tag, args, logs, extra):
     ] + extra
     print("+", " ".join(cmd), flush=True)
     t0 = time.time()
-    proc = subprocess.run(cmd, cwd=_REPO, capture_output=True, text=True)
+    # share the TPU-primed persistent compile cache across the three
+    # arms: they run near-identical programs, and the axon compile
+    # helper takes minutes per program
+    env = {
+        **os.environ,
+        "JAX_COMPILATION_CACHE_DIR": os.path.join(_REPO, ".jax_cache"),
+    }
+    proc = subprocess.run(
+        cmd, cwd=_REPO, capture_output=True, text=True, env=env
+    )
     dt = time.time() - t0
     if proc.returncode != 0:
         print(proc.stdout[-3000:])
