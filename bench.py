@@ -138,9 +138,11 @@ def main():
     # stays opt-in
     fused = os.environ.get("BENCH_FUSED_TCONV", "0") != "0"
     fused_sgcn = os.environ.get("BENCH_FUSED_SGCN", "1") != "0"
+    sgcn_stats = os.environ.get("BENCH_SGCN_STATS", "0") != "0"
     model = stgcn.Model(
         num_classes=60, dtype=jnp.bfloat16, remat=False,
         fused_tconv=fused, fused_sgcn=fused_sgcn,
+        sgcn_stats=sgcn_stats and fused_sgcn,
     )
     tx = optax.sgd(0.1, momentum=0.9, nesterov=True)
     state = create_train_state(model, jax.random.key(0), x[:1], tx)

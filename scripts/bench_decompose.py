@@ -130,6 +130,22 @@ VARIANTS = {
     "f32": lambda: time_variant(
         "f32", 128, dict(dtype=None, remat=False, fused_sgcn=True),
     ),
+    # BN1 batch stats from the spatial kernel's epilogue (no separate
+    # reduce pass over the spatial activation)
+    "sgcn_stats": lambda: time_variant(
+        "sgcn_stats", 128,
+        dict(
+            dtype=jnp.bfloat16, remat=False, fused_sgcn=True,
+            sgcn_stats=True,
+        ),
+    ),
+    "sgcn_stats_b256": lambda: time_variant(
+        "sgcn_stats_b256", 256,
+        dict(
+            dtype=jnp.bfloat16, remat=False, fused_sgcn=True,
+            sgcn_stats=True,
+        ),
+    ),
 }
 
 

@@ -306,6 +306,40 @@ def main():
             timeit(f"conv_{tag}_fwd", conv_fwd, y16,
                    ck.reshape(9, 1, c_out, c_out))
 
+        # --- conv9x1 as explicit im2col matmul (MXU-shape probe: at
+        # C=64 the conv's contraction K=9*C=576 against Co=64 output
+        # lanes may lower better as one big matmul) ---
+        wm = jnp.asarray(
+            rng.normal(size=(9 * c_out, c_out)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+
+        def convm_fwd(c, y, wm):
+            yy = y + c.astype(y.dtype)
+            ypad = jnp.pad(yy, ((0, 0), (4, 4), (0, 0), (0, 0)))
+            cols = jnp.concatenate(
+                [ypad[:, k : k + yy.shape[1]] for k in range(9)],
+                axis=-1,
+            )
+            return feed(cols @ wm)
+
+        if want(f"convm_{tag}_fwd"):
+            timeit(f"convm_{tag}_fwd", convm_fwd, y16, wm)
+
+        # --- conv9x1 with (NM, V, T, C) layout (kernel (1,9)) ---
+        def convt_fwd(c, y, ck):
+            yy = jnp.transpose(y + c.astype(y.dtype), (0, 2, 1, 3))
+            out = jax.lax.conv_general_dilated(
+                yy, ck, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return feed(out)
+
+        if want(f"convt_{tag}_fwd"):
+            timeit(
+                f"convt_{tag}_fwd", convt_fwd, y16,
+                ck0.astype(jnp.bfloat16).reshape(1, 9, c_out, c_out),
+            )
+
         # --- one training-mode BN+relu pass (f32 in, f32 out) ---
         bn = nn.BatchNorm(
             use_running_average=False, momentum=0.99, epsilon=1e-3

@@ -242,6 +242,43 @@ def check_sgcn():
         worst = max(worst, r)
     _record("sgcn_bwd", worst <= 2e-2, rel_worst=worst)
 
+    # stats-epilogue variant: out + BN batch sums, fwd and a BN-shaped
+    # backward exercising all three cotangents
+    fgc_s = make_fused_graph_conv(a, v, with_stats=True)
+    o_s, s_s, ss_s = jax.jit(fgc_s)(x, w, b)
+    _, r_o = _err(o_s, o_ref)
+    _, r_s = _err(s_s, jnp.sum(o_ref, axis=(0, 1, 2)))
+    _, r_ss = _err(ss_s, jnp.sum(o_ref * o_ref, axis=(0, 1, 2)))
+    _record(
+        "sgcn_stats_fwd",
+        (r_o <= 1e-2) and (r_s <= 1e-2) and (r_ss <= 1e-2),
+        rel_out=r_o, rel_s=r_s, rel_ss=r_ss,
+    )
+
+    def bn_loss_of(fn):
+        def loss(args):
+            res = fn(*args)
+            if isinstance(res, tuple):
+                o, s_, ss_ = res
+            else:
+                o = res
+                s_ = jnp.sum(o, axis=(0, 1, 2))
+                ss_ = jnp.sum(o * o, axis=(0, 1, 2))
+            n = o.size // o.shape[-1]
+            mu = s_ / n
+            var = jnp.maximum(ss_ / n - mu * mu, 0.0)
+            return jnp.sum(jnp.sin((o - mu) * jax.lax.rsqrt(var + 1e-3)))
+
+        return loss
+
+    gs0 = jax.jit(jax.grad(bn_loss_of(ref)))((x, w, b))
+    gs1 = jax.jit(jax.grad(bn_loss_of(fgc_s)))((x, w, b))
+    worst = 0.0
+    for p0, p1 in zip(gs0, gs1):
+        _, r = _err(p1, p0)
+        worst = max(worst, r)
+    _record("sgcn_stats_bwd", worst <= 2e-2, rel_worst=worst)
+
 
 def check_tconv():
     from skeleton_action_recognition_tpu.ops.pallas.tconv import (

@@ -154,6 +154,11 @@ class GraphConvTD(nn.Module):
     adjacency_first: bool = False
     fused: bool = False
     fused_adjacency: Optional[np.ndarray] = None
+    # with ``fused``: also emit BN batch statistics (sum, sum-of-squares)
+    # from the kernel epilogue in training — ``__call__`` then returns
+    # ``((out, s, ss), a)`` for a stats-consuming BatchNorm
+    # (:class:`..stgcn.StatsTemporalConv`)
+    emit_stats: bool = False
 
     @nn.compact
     def __call__(self, x, a, train: bool = False):
@@ -171,7 +176,10 @@ class GraphConvTD(nn.Module):
             kernel, bias = _DenseParams(
                 self.filters * self.kernel_size, name="Dense_0"
             )(c_in)
-            fgc = make_fused_graph_conv(a_np, x.shape[2])
+            with_stats = self.emit_stats and train
+            fgc = make_fused_graph_conv(
+                a_np, x.shape[2], with_stats=with_stats
+            )
             out = fgc(x.astype(self.dtype or x.dtype), kernel, bias)
             return out, a
 

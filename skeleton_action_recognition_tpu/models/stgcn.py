@@ -181,6 +181,63 @@ class FusedTemporalConv(nn.Module):
         )
 
 
+class StatsTemporalConv(nn.Module):
+    """``TemporalConv`` consuming precomputed BN1 batch statistics.
+
+    Paired with the fused spatial kernel's stats epilogue
+    (:func:`..ops.pallas.sgcn.make_fused_graph_conv` with
+    ``with_stats=True``): in training, BN1's batch mean/var come from
+    the kernel-emitted ``sum`` / ``sum-of-squares`` instead of a
+    separate full read of the spatial activation, and the normalize +
+    ReLU collapse to one per-channel affine fused by XLA into the
+    temporal conv's input. Variable tree is identical to
+    :class:`TemporalConv`, so checkpoints are interchangeable.
+    """
+
+    filters: int
+    kernel_size: int = 9
+    stride: int = 1
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, s, ss, train: bool):
+        c_in = x.shape[-1]
+        g1, b1, m1, v1 = _BNParams(c_in, name="BatchNorm_0")()
+        eps = self.epsilon
+        cd = self.dtype or x.dtype
+
+        if train:
+            n = x.size // c_in
+            mu = s / n
+            var = jnp.maximum(ss / n - mu * mu, 0.0)
+            if not self.is_initializing():
+                mom = self.momentum
+                m1.value = mom * m1.value + (1 - mom) * mu
+                v1.value = mom * v1.value + (1 - mom) * var
+        else:
+            mu, var = m1.value, v1.value
+
+        scale1 = g1 * jax.lax.rsqrt(var + eps)
+        shift1 = b1 - mu * scale1
+        h = jnp.maximum(
+            x.astype(jnp.float32) * scale1 + shift1, 0.0
+        ).astype(cd)
+        h = nn.Conv(
+            self.filters,
+            kernel_size=(self.kernel_size, 1),
+            strides=(self.stride, 1),
+            padding="SAME",
+            kernel_init=CONV_INIT,
+            dtype=self.dtype,
+            name="Conv_0",
+        )(h)
+        return batch_norm(
+            train, name="BatchNorm_1", dtype=self.dtype
+        )(h)
+
+
 class STConvBlock(nn.Module):
     """One spatio-temporal block: spatial conv + temporal conv + residual.
 
@@ -201,6 +258,7 @@ class STConvBlock(nn.Module):
     fused_tconv: bool = False
     fused_sgcn: bool = False
     fused_adjacency: Optional[np.ndarray] = None
+    sgcn_stats: bool = False
 
     @nn.compact
     def __call__(self, x, a, train: bool):
@@ -222,17 +280,31 @@ class STConvBlock(nn.Module):
                 train, name="residual_bn", dtype=self.dtype
             )(res)
 
+        use_stats = (
+            self.sgcn_stats and self.fused_sgcn
+            and self.sgcn_factory is None
+        )
         factory = self.sgcn_factory or (
             lambda f: GraphConvTD(
                 f,
                 dtype=self.dtype,
                 fused=self.fused_sgcn,
                 fused_adjacency=self.fused_adjacency,
+                emit_stats=use_stats,
                 name="sgcn",
             )
         )
         x, a = factory(self.filters)(x, a, train)
-        if self.fused_tconv and self.stride == 1:
+        if use_stats:
+            if train:
+                x, s, ss = x
+            else:
+                s = ss = None
+            x = StatsTemporalConv(
+                self.filters, stride=self.stride, dtype=self.dtype,
+                name="tgcn",
+            )(x, s, ss, train)
+        elif self.fused_tconv and self.stride == 1:
             x = FusedTemporalConv(
                 self.filters, dtype=self.dtype, name="tgcn"
             )(x, train)
@@ -295,6 +367,7 @@ class STGCNBackbone(nn.Module):
     fused_tconv: bool = False
     fused_sgcn: bool = False
     fused_adjacency: Optional[np.ndarray] = None
+    sgcn_stats: bool = False
 
     @nn.compact
     def __call__(self, x, a, train: bool):
@@ -321,6 +394,7 @@ class STGCNBackbone(nn.Module):
                 fused_tconv=self.fused_tconv,
                 fused_sgcn=self.fused_sgcn,
                 fused_adjacency=self.fused_adjacency,
+                sgcn_stats=self.sgcn_stats,
                 name=f"block_{i}",
             )(x, a, train)
             if i == self.extra_block_index and self.extra_block_factory:
@@ -348,6 +422,9 @@ class Model(nn.Module):
     remat_policy: str = "full"  # or 'dots' (save matmuls, redo elementwise)
     fused_tconv: bool = False  # fused Pallas temporal chain in training
     fused_sgcn: bool = False  # fused Pallas spatial conv (constant A only)
+    # with fused_sgcn: BN1 batch stats from the spatial kernel's epilogue
+    # (no separate reduce pass over the spatial activation)
+    sgcn_stats: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -371,5 +448,6 @@ class Model(nn.Module):
             fused_tconv=self.fused_tconv,
             fused_sgcn=self.fused_sgcn,
             fused_adjacency=a_init if self.fused_sgcn else None,
+            sgcn_stats=self.sgcn_stats,
             name="backbone",
         )(x, a, train)

@@ -118,6 +118,57 @@ def _fwd_kernel(
         ).astype(out_dtype)
 
 
+def _fwd_stats_kernel(
+    x_ref, w_ref, b_ref, p_ref, out_ref, s_ref, ss_ref,
+    z_buf,
+    *, t_tile: int, g: int, vp: int, k_parts: int, out_dtype,
+):
+    """Forward kernel + BatchNorm-statistics epilogue: also emits
+    ``s = sum(out)`` and ``ss = sum(out*out)`` over rows (f32,
+    accumulated across the sequential grid), so the consumer BatchNorm
+    needs no separate full-activation reduce pass. The zero-padded
+    joint rows contribute exactly zero to both sums (their adjacency
+    block rows are zero), so the sums equal the unpadded activation's.
+    """
+    n, i = pl.program_id(0), pl.program_id(1)
+    grp_rows = g * vp
+    mm = w_ref.dtype
+
+    for k in range(k_parts):
+        z_buf[k] = (
+            jnp.dot(
+                x_ref[0], w_ref[k], preferred_element_type=jnp.float32
+            )
+            + b_ref[k]
+        ).astype(mm)
+
+    @pl.when((n == 0) & (i == 0))
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+        ss_ref[:] = jnp.zeros_like(ss_ref)
+
+    co = out_ref.shape[-1]
+    s_acc = jnp.zeros((1, co), jnp.float32)
+    ss_acc = jnp.zeros((1, co), jnp.float32)
+    for gi in range(t_tile // g):
+        lo = gi * grp_rows
+        zst = jnp.concatenate(
+            [z_buf[k][lo : lo + grp_rows, :] for k in range(k_parts)],
+            axis=0,
+        )
+        tile = jnp.dot(
+            p_ref[:], zst, preferred_element_type=jnp.float32
+        ).astype(out_dtype)
+        out_ref[0, lo : lo + grp_rows, :] = tile
+        # stats on the CAST value — what the downstream BatchNorm would
+        # otherwise read back from HBM
+        tf = tile.astype(jnp.float32)
+        s_acc = s_acc + jnp.sum(tf, axis=0, keepdims=True)
+        ss_acc = ss_acc + jnp.sum(tf * tf, axis=0, keepdims=True)
+    s_ref[:] = s_ref[:] + s_acc
+    ss_ref[:] = ss_ref[:] + ss_acc
+
+
 def _bwd_kernel(
     x_ref, gout_ref, wt_ref, pt_ref,
     gx_ref, dw_ref, db_ref,
@@ -205,7 +256,7 @@ def _const_spec(shape):
     )
 
 
-def make_fused_graph_conv(a: np.ndarray, v: int):
+def make_fused_graph_conv(a: np.ndarray, v: int, with_stats: bool = False):
     """Build ``fgc(x, kernel, bias) -> out`` for a CONSTANT adjacency
     stack ``a (K, V, V)`` (numpy — the block-diagonal MXU operands are
     precomputed host-side, so this cannot be used with
@@ -216,23 +267,58 @@ def make_fused_graph_conv(a: np.ndarray, v: int):
     Dense kernel (partition-major column blocks, matching
     :class:`...models.gcn.GraphConvTD`); ``bias``: ``(K*C_out,)``.
     Returns ``(NM, T, V, C_out)`` in ``x.dtype``.
+
+    With ``with_stats=True``, returns ``(out, s, ss)`` where ``s`` /
+    ``ss`` are f32 ``(C_out,)`` sums of ``out`` and ``out**2`` over all
+    ``(NM, T, V)`` positions, accumulated in the kernel's epilogue —
+    the downstream BatchNorm's batch statistics without a separate
+    full-activation reduce pass (the r1 VERDICT's "two-pass BN folded
+    into the spatial kernel's epilogue" idea). Gradients flow through
+    ``s``/``ss`` exactly: the VJP folds their cotangents into the
+    output cotangent (``g + g_s + 2*out*g_ss``) before the shared
+    backward kernel.
     """
     a = np.asarray(a, np.float32)
     k_parts = a.shape[0]
 
+    if not with_stats:
+
+        @jax.custom_vjp
+        def fgc(x, kernel, bias):
+            return _fwd_impl(x, kernel, bias, a, v, k_parts)
+
+        def fwd(x, kernel, bias):
+            return fgc(x, kernel, bias), (x, kernel, bias)
+
+        def bwd(res, g_out):
+            x, kernel, bias = res
+            return _bwd_impl(x, kernel, bias, g_out, a, v, k_parts)
+
+        fgc.defvjp(fwd, bwd)
+        return fgc
+
     @jax.custom_vjp
-    def fgc(x, kernel, bias):
-        return _fwd_impl(x, kernel, bias, a, v, k_parts)
+    def fgc_stats(x, kernel, bias):
+        return _fwd_stats_impl(x, kernel, bias, a, v, k_parts)
 
-    def fwd(x, kernel, bias):
-        return fgc(x, kernel, bias), (x, kernel, bias)
+    def fwd_s(x, kernel, bias):
+        out, s, ss = _fwd_stats_impl(x, kernel, bias, a, v, k_parts)
+        # ``out`` is a primal output — saving it costs no extra compute,
+        # and the stats-cotangent fold needs it
+        return (out, s, ss), (x, kernel, bias, out)
 
-    def bwd(res, g_out):
-        x, kernel, bias = res
-        return _bwd_impl(x, kernel, bias, g_out, a, v, k_parts)
+    def bwd_s(res, gs):
+        x, kernel, bias, out = res
+        g_out, g_s, g_ss = gs
+        gg = (
+            g_out.astype(jnp.float32)
+            + g_s
+            + 2.0 * out.astype(jnp.float32) * g_ss
+        )
+        return _bwd_impl(x, kernel, bias, gg, a, v, k_parts)
 
-    fgc.defvjp(fwd, bwd)
-    return fgc
+    fgc_stats.defvjp(fwd_s, bwd_s)
+    return fgc_stats
 
 
 def _prep(x, kernel, a, v, k_parts):
@@ -287,6 +373,49 @@ def _fwd_impl(x, kernel, bias, a, v, k_parts):
         interpret=_interpret(),
     )(x3, w, b3, p)
     return _unpad_joints(out, v, vp).reshape(nm, t, v, co)
+
+
+def _fwd_stats_impl(x, kernel, bias, a, v, k_parts):
+    nm, t, c_in, vp, t_tile, g, co, blk = _prep(
+        x, kernel, a, v, k_parts
+    )
+    mm = _mm_dtype(x)
+    x3 = _pad_joints(x.reshape(nm, t * v, c_in), v, vp)
+    w = _split_w(kernel, k_parts, co, mm)
+    b3 = jnp.transpose(
+        bias.reshape(1, k_parts, co), (1, 0, 2)
+    ).astype(jnp.float32)
+    p = jnp.asarray(blk, mm)
+
+    kern = functools.partial(
+        _fwd_stats_kernel, t_tile=t_tile, g=g, vp=vp, k_parts=k_parts,
+        out_dtype=x.dtype,
+    )
+    stat_spec = pl.BlockSpec(
+        (1, co), lambda n, i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out, s, ss = pl.pallas_call(
+        kern,
+        grid=(nm, t // t_tile),
+        in_specs=[
+            _tile_spec(t_tile * vp, c_in),
+            _const_spec(w.shape),
+            _const_spec(b3.shape),
+            _const_spec(p.shape),
+        ],
+        out_specs=[_tile_spec(t_tile * vp, co), stat_spec, stat_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nm, t * vp, co), x.dtype),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k_parts, t_tile * vp, co), mm),
+        ],
+        interpret=_interpret(),
+    )(x3, w, b3, p)
+    out = _unpad_joints(out, v, vp).reshape(nm, t, v, co)
+    return out, s.reshape(co), ss.reshape(co)
 
 
 def _bwd_impl(x, kernel, bias, g_out, a, v, k_parts):

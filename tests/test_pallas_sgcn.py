@@ -136,6 +136,116 @@ def test_fused_sgcn_plus_tconv_trains():
         )
 
 
+def test_stats_kernel_outputs_and_grads():
+    """with_stats=True: the epilogue sums equal jnp reductions of the
+    output, and gradients through (out, s, ss) match the XLA chain."""
+    rng = np.random.default_rng(3)
+    nm, t, v, c_in, co, k = 2, 12, 25, 16, 8, 3
+    a = Graph("spatial").A.astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(nm, t, v, c_in)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(c_in, k * co)).astype(np.float32) * 0.1
+    )
+    b = jnp.asarray(rng.normal(size=(k * co,)).astype(np.float32) * 0.1)
+
+    def ref(x_, w_, b_):
+        z = (x_ @ w_ + b_).reshape(x_.shape[:-1] + (k, co))
+        return jnp.einsum("ntvko,kvw->ntwo", z, jnp.asarray(a))
+
+    fgc_s = make_fused_graph_conv(a, v, with_stats=True)
+    out, s, ss = jax.jit(fgc_s)(x, w, b)
+    np.testing.assert_allclose(
+        np.asarray(ref(x, w, b)), np.asarray(out), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(out, axis=(0, 1, 2))), np.asarray(s),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(out * out, axis=(0, 1, 2))), np.asarray(ss),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # BN-shaped loss: exercises all three cotangents (g_out, g_s, g_ss)
+    def loss_fused(args):
+        o, s_, ss_ = fgc_s(*args)
+        n = o.size // o.shape[-1]
+        mu = s_ / n
+        var = jnp.maximum(ss_ / n - mu * mu, 0.0)
+        return jnp.sum(jnp.sin((o - mu) * jax.lax.rsqrt(var + 1e-3)))
+
+    def loss_ref(args):
+        o = ref(*args)
+        n = o.size // o.shape[-1]
+        s_ = jnp.sum(o, axis=(0, 1, 2))
+        ss_ = jnp.sum(o * o, axis=(0, 1, 2))
+        mu = s_ / n
+        var = jnp.maximum(ss_ / n - mu * mu, 0.0)
+        return jnp.sum(jnp.sin((o - mu) * jax.lax.rsqrt(var + 1e-3)))
+
+    g0 = jax.grad(loss_ref)((x, w, b))
+    g1 = jax.grad(loss_fused)((x, w, b))
+    # atol 1e-4: some g_b components nearly cancel through the
+    # mean-subtraction (O(1e-4) residue of O(1) sums), and the kernel's
+    # tile-sequential f32 accumulation of s/ss associates differently
+    # from the XLA reduce
+    for name, p0, p1 in zip(["g_x", "g_w", "g_b"], g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(p0), np.asarray(p1),
+            rtol=2e-4, atol=1e-4, err_msg=name,
+        )
+
+
+def test_sgcn_stats_model_matches_stock():
+    """Full ST-GCN with fused_sgcn + sgcn_stats (BN1 fed from the
+    kernel epilogue): loss, updated params, and BN running stats match
+    stock within the chaotic-chain noise floor."""
+    new_s, m_s, new_f, m_f = _one_step_pair(
+        dict(fused_sgcn=True, sgcn_stats=True)
+    )
+    np.testing.assert_allclose(
+        float(m_s["loss"]), float(m_f["loss"]), rtol=1e-4
+    )
+    for tree_s, tree_f in (
+        (new_s.params, new_f.params),
+        (new_s.batch_stats, new_f.batch_stats),
+    ):
+        assert jax.tree_util.tree_structure(tree_s) == (
+            jax.tree_util.tree_structure(tree_f)
+        )
+        for (p, a_), (_, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(tree_s),
+            jax.tree_util.tree_leaves_with_path(tree_f),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), **_MODEL_TOL,
+                err_msg=jax.tree_util.keystr(p),
+            )
+
+
+def test_sgcn_stats_eval_matches_fused_eval():
+    """Inference with sgcn_stats on equals the fused-only model (the
+    epilogue is a training-mode construct; eval shares the plain path)."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(
+        rng.normal(size=(2, 3, 16, 25, 2)).astype(np.float32)
+    )
+    base = stgcn.Model(num_classes=6, remat=False, fused_sgcn=True)
+    stats = stgcn.Model(
+        num_classes=6, remat=False, fused_sgcn=True, sgcn_stats=True
+    )
+    vb = base.init(jax.random.key(0), x[:1])
+    vs = stats.init(jax.random.key(0), x[:1])
+    assert jax.tree_util.tree_structure(vb) == (
+        jax.tree_util.tree_structure(vs)
+    )
+    o0 = base.apply(vb, x, False)
+    o1 = stats.apply(vb, x, False)
+    np.testing.assert_allclose(
+        np.asarray(o0), np.asarray(o1), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_fused_sgcn_rejects_trainable_adjacency():
     import pytest
 
