@@ -235,15 +235,28 @@ def run_cli(tag, args, logs, extra):
         **os.environ,
         "JAX_COMPILATION_CACHE_DIR": os.path.join(_REPO, ".jax_cache"),
     }
-    proc = subprocess.run(
-        cmd, cwd=_REPO, capture_output=True, text=True, env=env
-    )
-    dt = time.time() - t0
-    if proc.returncode != 0:
-        print(proc.stdout[-3000:])
-        print(proc.stderr[-3000:])
-        raise RuntimeError(f"{tag} failed rc={proc.returncode}")
-    out = proc.stdout
+    # stream the arm's stdout to a file (an interrupted run keeps its
+    # progress; capture_output lost 45 min of the first attempt) and
+    # reuse a completed arm's log on re-run instead of re-training
+    arm_log = os.path.join(args.workdir, f"arm_{tag}.log")
+    done_marker = f"__ARM_DONE rc=0 epochs={args.epochs}__"
+    if os.path.exists(arm_log) and done_marker in open(arm_log).read():
+        print(f"(reusing completed arm log {arm_log})", flush=True)
+        out = open(arm_log).read()
+        dt = 0.0
+    else:
+        with open(arm_log, "w") as lf:
+            proc = subprocess.run(
+                cmd, cwd=_REPO, stdout=lf,
+                stderr=subprocess.STDOUT, text=True, env=env,
+            )
+        dt = time.time() - t0
+        out = open(arm_log).read()
+        if proc.returncode != 0:
+            print(out[-3000:])
+            raise RuntimeError(f"{tag} failed rc={proc.returncode}")
+        with open(arm_log, "a") as lf:
+            lf.write("\n" + done_marker + "\n")
     val_acc = [
         float(m) for m in re.findall(r"val Loss: \S+ Acc: (\S+)", out)
     ]
@@ -271,14 +284,25 @@ def stage_train(args, probe=None):
         "unfreeze_epoch": args.unfreeze_epoch,
         "probe": probe,
     }
+    dst = os.path.join(_REPO, "runs")
+    os.makedirs(dst, exist_ok=True)
+
+    def dump_partial():
+        with open(
+            os.path.join(dst, "lambda_learning_REPORT.json"), "w"
+        ) as f:
+            json.dump(report, f, indent=2)
+
     report["frozen_detuned"] = run_cli(
         "frozen", args, logs, ["--wavelength", str(detuned)])
+    dump_partial()
     report["unfrozen_detuned"] = run_cli(
         "unfrozen", args, logs,
         ["--wavelength", str(detuned),
          "--lambda-train-epoch", str(args.unfreeze_epoch),
          "--lambda-rel-step", str(args.lambda_rel_step)],
     )
+    dump_partial()
     report["frozen_good"] = run_cli(
         "good", args, logs, ["--wavelength", str(GOOD_LAMBDA)])
 
@@ -293,8 +317,6 @@ def stage_train(args, probe=None):
     )
     report["lambda_moved_toward_good"] = moved
 
-    dst = os.path.join(_REPO, "runs")
-    os.makedirs(dst, exist_ok=True)
     with open(os.path.join(dst, "lambda_learning_REPORT.json"), "w") as f:
         json.dump(report, f, indent=2)
     good = report["frozen_good"]["best_val_acc"]
