@@ -281,41 +281,46 @@ def make_fused_graph_conv(a: np.ndarray, v: int, with_stats: bool = False):
     a = np.asarray(a, np.float32)
     k_parts = a.shape[0]
 
+    # NB: both VJPs save the PADDED ``x3`` as the residual — the
+    # backward kernel consumes the padded layout, and re-padding the
+    # unpadded ``x`` in the backward was a ~560 MB/block HBM round trip
+    # at the bench shape (jaxpr audit, round 3).
     if not with_stats:
 
         @jax.custom_vjp
         def fgc(x, kernel, bias):
-            return _fwd_impl(x, kernel, bias, a, v, k_parts)
+            return _fwd_impl(x, kernel, bias, a, v, k_parts)[0]
 
         def fwd(x, kernel, bias):
-            return fgc(x, kernel, bias), (x, kernel, bias)
+            out, x3 = _fwd_impl(x, kernel, bias, a, v, k_parts)
+            return out, (x3, kernel, bias)
 
         def bwd(res, g_out):
-            x, kernel, bias = res
-            return _bwd_impl(x, kernel, bias, g_out, a, v, k_parts)
+            x3, kernel, bias = res
+            return _bwd_impl(x3, kernel, bias, g_out, a, v, k_parts)
 
         fgc.defvjp(fwd, bwd)
         return fgc
 
     @jax.custom_vjp
     def fgc_stats(x, kernel, bias):
-        return _fwd_stats_impl(x, kernel, bias, a, v, k_parts)
+        return _fwd_stats_impl(x, kernel, bias, a, v, k_parts)[:3]
 
     def fwd_s(x, kernel, bias):
-        out, s, ss = _fwd_stats_impl(x, kernel, bias, a, v, k_parts)
         # ``out`` is a primal output — saving it costs no extra compute,
         # and the stats-cotangent fold needs it
-        return (out, s, ss), (x, kernel, bias, out)
+        out, s, ss, x3 = _fwd_stats_impl(x, kernel, bias, a, v, k_parts)
+        return (out, s, ss), (x3, kernel, bias, out)
 
     def bwd_s(res, gs):
-        x, kernel, bias, out = res
+        x3, kernel, bias, out = res
         g_out, g_s, g_ss = gs
         gg = (
             g_out.astype(jnp.float32)
             + g_s
             + 2.0 * out.astype(jnp.float32) * g_ss
         )
-        return _bwd_impl(x, kernel, bias, gg, a, v, k_parts)
+        return _bwd_impl(x3, kernel, bias, gg, a, v, k_parts)
 
     fgc_stats.defvjp(fwd_s, bwd_s)
     return fgc_stats
@@ -372,7 +377,7 @@ def _fwd_impl(x, kernel, bias, a, v, k_parts):
         ],
         interpret=_interpret(),
     )(x3, w, b3, p)
-    return _unpad_joints(out, v, vp).reshape(nm, t, v, co)
+    return _unpad_joints(out, v, vp).reshape(nm, t, v, co), x3
 
 
 def _fwd_stats_impl(x, kernel, bias, a, v, k_parts):
@@ -415,17 +420,22 @@ def _fwd_stats_impl(x, kernel, bias, a, v, k_parts):
         interpret=_interpret(),
     )(x3, w, b3, p)
     out = _unpad_joints(out, v, vp).reshape(nm, t, v, co)
-    return out, s.reshape(co), ss.reshape(co)
+    return out, s.reshape(co), ss.reshape(co), x3
 
 
-def _bwd_impl(x, kernel, bias, g_out, a, v, k_parts):
-    nm, t, c_in, vp, t_tile, g, co, blk = _prep(
-        x, kernel, a, v, k_parts
-    )
-    mm = _mm_dtype(x)
-    x3 = _pad_joints(x.reshape(nm, t * v, c_in), v, vp)
+def _bwd_impl(x3, kernel, bias, g_out, a, v, k_parts):
+    """Backward from the PADDED forward input ``x3 (NM, T*VP, C_in)``
+    (the forward's residual — re-padding the unpadded activation here
+    cost a full HBM round trip per block)."""
+    nm, t, v_, co = g_out.shape
+    assert v_ == v
+    c_in = kernel.shape[0]
+    vp = _roundup8(v)
+    t_tile, g = _pick_tiles(t, vp)
+    blk = _block_adj(a, v, vp, g)
+    mm = _mm_dtype(x3)
     g3 = _pad_joints(
-        g_out.reshape(nm, t * v, co).astype(x.dtype), v, vp
+        g_out.reshape(nm, t * v, co).astype(x3.dtype), v, vp
     )
     # (K, Co, C_in): dx contraction operand, leading-dim indexed
     wt = jnp.transpose(
@@ -457,7 +467,7 @@ def _bwd_impl(x, kernel, bias, g_out, a, v, k_parts):
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nm, t * vp, c_in), x.dtype),
+            jax.ShapeDtypeStruct((nm, t * vp, c_in), x3.dtype),
             jax.ShapeDtypeStruct((k_parts, c_in, co), jnp.float32),
             jax.ShapeDtypeStruct((k_parts, 1, co), jnp.float32),
         ],
@@ -468,7 +478,7 @@ def _bwd_impl(x, kernel, bias, g_out, a, v, k_parts):
     )(x3, g3, wt, pt)
 
     g_x = _unpad_joints(gx, v, vp).reshape(nm, t, v, c_in).astype(
-        x.dtype
+        x3.dtype
     )
     # dw (K, C_in, Co) -> flax layout (C_in, K*Co)
     g_kernel = jnp.transpose(dw, (1, 0, 2)).reshape(
