@@ -125,6 +125,31 @@ def test_stft_complex_identity():
     np.testing.assert_allclose(np.asarray(im).T, ref.imag, atol=2e-2)
 
 
+def test_stft_complex_general_hop_matches_recombination():
+    """The conv-fallback branch of stft_complex (hop does not divide
+    n_fft) must equal the explicit two-real-STFT recombination — the
+    polyphase branch folds the recombination into the bases, so pin
+    both branches to the same identity."""
+    rng = np.random.default_rng(6)
+    t, n_fft = 1024, 64
+    a = jnp.asarray(rng.normal(size=(2, t)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(2, t)), jnp.float32)
+    cos, sin = ops.stft_basis(n_fft)
+    cos_j, sin_j = jnp.asarray(cos), jnp.asarray(sin)
+    for hop in (16, 24):  # polyphase branch, conv-fallback branch
+        re, im = ops.stft_complex(a, b, hop, cos_j, sin_j)
+        ra, ia = ops.stft_real(a, hop, cos_j, sin_j)
+        rb, ib = ops.stft_real(b, hop, cos_j, sin_j)
+        np.testing.assert_allclose(
+            np.asarray(re), np.asarray(ra - ib), atol=1e-4,
+            err_msg=f"re hop={hop}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(im), np.asarray(ia + rb), atol=1e-4,
+            err_msg=f"im hop={hop}",
+        )
+
+
 def test_spatial_graph_conv_equals_naive():
     rng = np.random.default_rng(6)
     n, t, v, ci, k, co = 2, 5, 25, 3, 3, 8
