@@ -15,12 +15,15 @@ path given by ``--json`` (default ``SMOKE.json`` at the repo root).
 Run as the LAST act of every round; a nonzero exit means a kernel does
 not lower or does not match on the real chip.
 
-Tolerance notes: radar gradients at real wavelengths (lambda ~ 5e-4) are
-chaotic (tiny residues of hugely-cancelling phase terms — see
-``ops/pallas/radar.py`` docstring), so the backward parity check runs at
-lambda=10 where both implementations are well-conditioned; at the real
-wavelength only the forward (loose, scale-relative) and gradient
-finiteness are asserted.
+Tolerance notes: radar numerics at real wavelengths (lambda ~ 5e-4) are
+f32-conditioning-limited — one ulp of bone-length difference between two
+correct implementations is amplified by 4*pi/lambda into ~4e-3 relative
+output error, and gradients there are tiny residues of hugely-cancelling
+phase terms (see ``ops/pallas/radar.py`` docstring). Structural parity is
+therefore gated at lambda=10 (fwd + bwd 1e-2, the bound set by the
+kernel's deliberate bf16-dst amplitude precision split) where one ulp
+moves the phase by only ~2e-7; at the real wavelength the forward gate is
+the analytic 4-ulp chaos bound and gradients assert finiteness only.
 
 Usage:  python scripts/tpu_smoke.py [--json SMOKE_r03.json]
 """
@@ -113,9 +116,39 @@ def check_radar(d):
     w = jnp.asarray(pad_frames_operator(30, 20))  # T_out = 600
     loc = jnp.zeros(3)
 
-    # forward at the real wavelength (scale-relative: f32 phase jitter
-    # is amplified by 4*pi/lambda)
+    # structural forward parity at lambda=10: one f32 ulp of bone-length
+    # difference moves the phase by only ~2e-7 rad, so this gate catches
+    # real kernel regressions without phase-chaos false alarms. The
+    # bound is set by the kernel's DELIBERATE precision split (the dst
+    # contraction rides the bf16-pass MXU default; measured ~0.4-0.5%
+    # amplitude error vs the all-f32 XLA path), not by rounding: 1e-2
+    # gives 2x headroom over the split while staying 10x below any
+    # structural failure.
+    lam_t = jnp.asarray(10.0)
+    re_ft, im_ft = jax.jit(
+        lambda x: radar_return_fused(x, w, loc, lam_t, tile=128)
+    )(x)
+    re_xt, im_xt = jax.jit(
+        lambda x: radar_return_upsampled(x, w, loc, lam_t)
+    )(x)
+    scale_t = float(jnp.abs(re_xt).max())
+    a_re, r_re = _err(re_ft, re_xt)
+    a_im, r_im = _err(im_ft, im_xt)
+    _record(
+        "radar_fwd@lam10",
+        a_re <= 1e-2 * scale_t and a_im <= 1e-2 * scale_t,
+        rel_re=r_re, rel_im=r_im,
+    )
+
+    # forward at the real wavelength (scale-relative). The bound is set
+    # by f32 conditioning, not kernel quality: the two paths reduce the
+    # time-mean bone length in different orders, and ONE ulp of
+    # difference in d (~1.2e-7 at d~1 m) is amplified by 4*pi/lambda
+    # into ~3.8e-3 relative output error at lambda=5e-4 (sin/cos of a
+    # ~25000-rad phase). Gate at 4 ulps; the lambda=10 stage above owns
+    # structural parity.
     lam = jnp.asarray(5e-4)
+    tol_chaos = 4 * (4 * np.pi / float(lam)) * 1.2e-7
     re_f, im_f = jax.jit(
         lambda x: radar_return_fused(x, w, loc, lam, tile=128)
     )(x)
@@ -127,7 +160,7 @@ def check_radar(d):
     a_im, r_im = _err(im_f, im_x)
     _record(
         "radar_fwd@lam5e-4",
-        a_re <= 2e-3 * scale and a_im <= 2e-3 * scale,
+        a_re <= tol_chaos * scale and a_im <= tol_chaos * scale,
         rel_re=r_re, rel_im=r_im,
     )
 
@@ -167,6 +200,17 @@ def check_radar(d):
         radar_return_spline,
     )
 
+    re_st, im_st = jax.jit(
+        lambda x: radar_return_spline(x, 20, loc, lam_t, tile=128)
+    )(x)
+    a_re, r_re = _err(re_st, re_xt)
+    a_im, r_im = _err(im_st, im_xt)
+    _record(
+        "spline_fwd@lam10",
+        a_re <= 1e-2 * scale_t and a_im <= 1e-2 * scale_t,
+        rel_re=r_re, rel_im=r_im,
+    )
+
     re_s, im_s = jax.jit(
         lambda x: radar_return_spline(x, 20, loc, lam, tile=128)
     )(x)
@@ -174,7 +218,7 @@ def check_radar(d):
     a_im, r_im = _err(im_s, im_x)
     _record(
         "spline_fwd@lam5e-4",
-        a_re <= 2e-3 * scale and a_im <= 2e-3 * scale,
+        a_re <= tol_chaos * scale and a_im <= tol_chaos * scale,
         rel_re=r_re, rel_im=r_im,
     )
 

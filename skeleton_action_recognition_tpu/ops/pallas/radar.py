@@ -162,12 +162,14 @@ def _bone_length_mean_sq(x_raw, pad_operator, src_idx, dst_idx, tile):
         return acc + jnp.sum(length, axis=1), None
 
     n, _, _, e, m = bone.shape
-    # checkpoint: without it, grad-of-scan saves every tile's (N, tile,
-    # E, M) intermediates for the backward — ~1 GB of HBM round-trip at
-    # the bench shape; recomputing the einsum chain per tile costs a few
-    # GFLOP (jaxpr audit, round 3)
+    # deliberately NO jax.checkpoint on the body: grad-of-scan does save
+    # every tile's (N, tile, E, M) intermediates (~1 GB at the bench
+    # shape), but on v5e the chain is compute-bound — recomputing the
+    # einsum per tile measured -12% end-to-end (53.0 -> 60.1 ms/step at
+    # B=16), and the extra compilation detail costs a bone-length ulp
+    # that the 4*pi/lambda phase amplifies (round-3 A/B on hardware)
     total, _ = lax.scan(
-        jax.checkpoint(body),
+        body,
         jnp.zeros((n, e, m), x_raw.dtype), (w, row_valid),
     )
     return (total / t_out) ** 2  # (N, E, M)
@@ -683,11 +685,11 @@ def _bone_length_mean_sq_spline(bcoef_tiled, e, t_out):
         length = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, s)))
         return acc + jnp.sum(length, axis=1), None
 
-    # checkpoint: see _bone_length_mean_sq — drops ~1 GB of saved scan
-    # residuals (the (147,16,512,3,48) tensor in the jaxpr audit) for a
-    # few GFLOP of per-tile recompute
+    # no jax.checkpoint on the body: see _bone_length_mean_sq — the
+    # ~1 GB of saved scan residuals are cheaper than the recompute on
+    # this compute-bound chain (measured -12%/step, round-3 A/B)
     total, _ = lax.scan(
-        jax.checkpoint(body),
+        body,
         jnp.zeros((n, em), bcoef_tiled.dtype),
         (e, jnp.moveaxis(bcoef_tiled, 1, 0)),
     )

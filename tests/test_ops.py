@@ -126,10 +126,10 @@ def test_stft_complex_identity():
 
 
 def test_stft_complex_general_hop_matches_recombination():
-    """The conv-fallback branch of stft_complex (hop does not divide
-    n_fft) must equal the explicit two-real-STFT recombination — the
-    polyphase branch folds the recombination into the bases, so pin
-    both branches to the same identity."""
+    """stft_complex must equal the explicit two-real-STFT recombination
+    at both a polyphase-friendly hop (divides n_fft) and a general hop
+    (conv-fallback framing) — pins the recombination identity across
+    both framing paths."""
     rng = np.random.default_rng(6)
     t, n_fft = 1024, 64
     a = jnp.asarray(rng.normal(size=(2, t)), jnp.float32)
