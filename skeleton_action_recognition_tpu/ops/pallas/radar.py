@@ -50,12 +50,11 @@ from skeleton_action_recognition_tpu.graphs.ntu_rgb_d import RADAR_EDGES
 _TILE = 512
 
 
-def _fwd_math(lam, lx, ly, lz, spos, dpos, c_row, em):
-    """Shared VPU backscatter math: interpolated endpoint positions ->
-    per-tile (re, im) rows. Used by both the dense and spline kernels."""
-    sx, sy, sz = spos[:, :em], spos[:, em : 2 * em], spos[:, 2 * em :]
-    dx, dy, dz = dpos[:, :em], dpos[:, em : 2 * em], dpos[:, 2 * em :]
-
+def _scatter_fwd_core(lam, lx, ly, lz, sx, sy, sz, dx, dy, dz, c):
+    """Layout-agnostic elementwise backscatter math: broadcast-compatible
+    endpoint coordinates -> per-element (amp, phase). The (TILE, EM) and
+    (EM, TILE) wrappers below differ only in slicing/broadcast/reduction
+    axes; every FLOP lives here so the two layouts cannot drift."""
     rx, ry, rz = sx - lx, sy - ly, sz - lz
     dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
 
@@ -66,7 +65,6 @@ def _fwd_math(lam, lx, ly, lz, spos, dpos, c_row, em):
     nb = jnp.sqrt(bx * bx + by * by + bz * bz)
     ct = dot / (na * nb + 1e-6)
 
-    c = c_row[None, :]  # (1, EM)
     ct2 = ct * ct
     # abs: amp = sqrt(pi*c / denom^2) = sqrt(pi*c) / |denom| (denom can go
     # epsilon-negative when |ct| creeps past 1 in f32)
@@ -74,8 +72,36 @@ def _fwd_math(lam, lx, ly, lz, spos, dpos, c_row, em):
     amp = jnp.sqrt(np.pi * c) / denom
 
     phase = (4.0 * np.pi / lam) * dist
+    return amp, phase
+
+
+def _fwd_math(lam, lx, ly, lz, spos, dpos, c_row, em):
+    """Shared VPU backscatter math: interpolated endpoint positions ->
+    per-tile (re, im) rows. (TILE, EM) layout — used by the dense kernel."""
+    sx, sy, sz = spos[:, :em], spos[:, em : 2 * em], spos[:, 2 * em :]
+    dx, dy, dz = dpos[:, :em], dpos[:, em : 2 * em], dpos[:, 2 * em :]
+    amp, phase = _scatter_fwd_core(
+        lam, lx, ly, lz, sx, sy, sz, dx, dy, dz, c_row[None, :]
+    )
     re_row = jnp.sum(amp * jnp.cos(phase), axis=1)
     im_row = jnp.sum(amp * jnp.sin(phase), axis=1)
+    return re_row, im_row
+
+
+def _fwd_math_t(lam, lx, ly, lz, spos, dpos, c_col, em):
+    """Transposed twin of :func:`_fwd_math`: operands are (3*EM, TILE)
+    with the edge-mass axis on SUBLANES and time on LANES. EM=48 on the
+    lane (minor) axis occupies 48 of 128 f32 lanes — 62% of every VPU op
+    wasted on padding in this VPU-bound kernel; with time on lanes
+    (TILE=512, a multiple of 128) the vector registers are fully dense.
+    Used by the spline kernel family (the production default)."""
+    sx, sy, sz = spos[:em], spos[em : 2 * em], spos[2 * em :]
+    dx, dy, dz = dpos[:em], dpos[em : 2 * em], dpos[2 * em :]
+    amp, phase = _scatter_fwd_core(
+        lam, lx, ly, lz, sx, sy, sz, dx, dy, dz, c_col[:, None]
+    )
+    re_row = jnp.sum(amp * jnp.cos(phase), axis=0)
+    im_row = jnp.sum(amp * jnp.sin(phase), axis=0)
     return re_row, im_row
 
 
@@ -175,15 +201,13 @@ def _bone_length_mean_sq(x_raw, pad_operator, src_idx, dst_idx, tile):
     return (total / t_out) ** 2  # (N, E, M)
 
 
-def _bwd_math(lam, lx, ly, lz, spos, dpos, c_row, gre, gim, em):
-    """Shared hand-derived backward of :func:`_fwd_math`: recompute the
-    forward intermediates and differentiate the backscatter/phase chain.
-    Returns the endpoint-position cotangents ``g_src``/``g_dst``
-    ``(TILE, 3*EM)`` plus the reduced ``g_c`` ``(EM,)``, ``g_loc``
-    scalars, and ``g_lam`` scalar for this tile."""
+def _scatter_bwd_core(lam, lx, ly, lz, sx, sy, sz, dx, dy, dz, c,
+                      gre, gim):
+    """Layout-agnostic elementwise backward of :func:`_scatter_fwd_core`:
+    recompute the forward intermediates and differentiate the
+    backscatter/phase chain. Returns per-element cotangent arrays; the
+    layout wrappers own the reductions and concatenation."""
     k = 4.0 * np.pi / lam
-    sx, sy, sz = spos[:, :em], spos[:, em:2*em], spos[:, 2*em:]
-    dx, dy, dz = dpos[:, :em], dpos[:, em:2*em], dpos[:, 2*em:]
     rx, ry, rz = sx - lx, sy - ly, sz - lz
     dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
     ax, ay, az = lx - (sx + dx) * 0.5, ly - (sy + dy) * 0.5, lz - (sz + dz) * 0.5
@@ -193,7 +217,6 @@ def _bwd_math(lam, lx, ly, lz, spos, dpos, c_row, gre, gim, em):
     nb = jnp.sqrt(bx * bx + by * by + bz * bz)
     den = na * nb + 1e-6
     ct = dot / den
-    c = c_row[None, :]
     ct2 = ct * ct
     u = (1.0 - ct2) + c * ct2
     au = jnp.abs(u)
@@ -221,21 +244,46 @@ def _bwd_math(lam, lx, ly, lz, spos, dpos, c_row, gre, gim, em):
     g_bz = g_dot * az + g_den * na * bz * inv_nb
     g_rx, g_ry, g_rz = g_dist * rx * inv_d, g_dist * ry * inv_d, g_dist * rz * inv_d
 
-    g_sx = g_rx - 0.5 * g_ax - g_bx
-    g_sy = g_ry - 0.5 * g_ay - g_by
-    g_sz = g_rz - 0.5 * g_az - g_bz
-    g_dx = -0.5 * g_ax + g_bx
-    g_dy = -0.5 * g_ay + g_by
-    g_dz = -0.5 * g_az + g_bz
-    g_src = jnp.concatenate([g_sx, g_sy, g_sz], axis=1)  # (TILE, 3*EM)
-    g_dst = jnp.concatenate([g_dx, g_dy, g_dz], axis=1)
-    g_loc = (
-        jnp.sum(-g_rx + g_ax),
-        jnp.sum(-g_ry + g_ay),
-        jnp.sum(-g_rz + g_az),
+    g_s = (g_rx - 0.5 * g_ax - g_bx,
+           g_ry - 0.5 * g_ay - g_by,
+           g_rz - 0.5 * g_az - g_bz)
+    g_d = (-0.5 * g_ax + g_bx, -0.5 * g_ay + g_by, -0.5 * g_az + g_bz)
+    g_l = (-g_rx + g_ax, -g_ry + g_ay, -g_rz + g_az)
+    g_lam_e = (-k / lam) * (g_phase * dist)
+    return g_s, g_d, g_c, g_l, g_lam_e
+
+
+def _bwd_math(lam, lx, ly, lz, spos, dpos, c_row, gre, gim, em):
+    """Shared hand-derived backward of :func:`_fwd_math` in the dense
+    kernel's (TILE, EM) layout. Returns the endpoint-position cotangents
+    ``g_src``/``g_dst`` ``(TILE, 3*EM)`` plus the reduced ``g_c``
+    ``(EM,)``, ``g_loc`` scalars, and ``g_lam`` scalar for this tile."""
+    sx, sy, sz = spos[:, :em], spos[:, em:2*em], spos[:, 2*em:]
+    dx, dy, dz = dpos[:, :em], dpos[:, em:2*em], dpos[:, 2*em:]
+    g_s, g_d, g_c, g_l, g_lam_e = _scatter_bwd_core(
+        lam, lx, ly, lz, sx, sy, sz, dx, dy, dz, c_row[None, :], gre, gim
     )
-    g_lam = (-k / lam) * jnp.sum(g_phase * dist)
+    g_src = jnp.concatenate(g_s, axis=1)  # (TILE, 3*EM)
+    g_dst = jnp.concatenate(g_d, axis=1)
+    g_loc = (jnp.sum(g_l[0]), jnp.sum(g_l[1]), jnp.sum(g_l[2]))
+    g_lam = jnp.sum(g_lam_e)
     return g_src, g_dst, jnp.sum(g_c, axis=0), g_loc, g_lam
+
+
+def _bwd_math_t(lam, lx, ly, lz, spos, dpos, c_col, gre, gim, em):
+    """Transposed twin of :func:`_bwd_math` (see :func:`_fwd_math_t`):
+    operands are (3*EM, TILE); ``gre``/``gim`` broadcast as (1, TILE).
+    Returns ``g_src``/``g_dst`` ``(3*EM, TILE)`` and ``g_c`` ``(EM,)``."""
+    sx, sy, sz = spos[:em], spos[em:2*em], spos[2*em:]
+    dx, dy, dz = dpos[:em], dpos[em:2*em], dpos[2*em:]
+    g_s, g_d, g_c, g_l, g_lam_e = _scatter_bwd_core(
+        lam, lx, ly, lz, sx, sy, sz, dx, dy, dz, c_col[:, None], gre, gim
+    )
+    g_src = jnp.concatenate(g_s, axis=0)  # (3*EM, TILE)
+    g_dst = jnp.concatenate(g_d, axis=0)
+    g_loc = (jnp.sum(g_l[0]), jnp.sum(g_l[1]), jnp.sum(g_l[2]))
+    g_lam = jnp.sum(g_lam_e)
+    return g_src, g_dst, jnp.sum(g_c, axis=1), g_loc, g_lam
 
 
 def _radar_bwd_kernel(lam_ref, loc_ref, w_ref, src_ref, dst_ref, c_ref,
@@ -467,7 +515,8 @@ def radar_return_fused(
 # collapses to a (TILE, 4*NS) one (NS = spline segments under a tile, ~4 at
 # the production 250x upsample), a ~19x matmul-FLOP cut, and the dense
 # (T_out, T_in) operator (90MB at production shapes) never exists — only
-# the per-tile monomial matrix (num_tiles, TILE, 4*NS) and the gathered
+# the per-tile monomial matrix (num_tiles, 4*NS, TILE — transposed so the
+# kernels keep time on the 128-wide lane axis) and the gathered
 # per-segment cubic coefficients do. See resample.spline_tile_plan.
 # ---------------------------------------------------------------------------
 
@@ -476,8 +525,12 @@ def _radar_spline_kernel(lam_ref, loc_ref, e_ref, src_ref, dst_ref, c_ref,
                          re_ref, im_ref):
     """One (sample, time-tile) grid step of the spline-path forward.
 
-    ``e_ref`` (1, TILE, 4*NS): per-row monomials; ``src_ref``/``dst_ref``
-    (1, 1, 4*NS, 3*EM): this tile's gathered segment coefficients. Both
+    TRANSPOSED layout (see :func:`_fwd_math_t`): ``e_ref``
+    (1, 4*NS, TILE) — per-row monomials with time on lanes;
+    ``src_ref``/``dst_ref`` (1, 1, 3*EM, 4*NS) — this tile's gathered
+    segment coefficients. The contraction emits (3*EM, TILE) directly,
+    so the whole VPU chain runs with the 512-wide time axis on lanes
+    (fully dense f32 registers) instead of EM=48 padded to 128. Both
     contractions are pinned HIGHEST — at width 4*NS the f32-exact passes
     cost ~nothing, and the src positions are phase-critical (see the
     dense kernel's precision note)."""
@@ -485,14 +538,14 @@ def _radar_spline_kernel(lam_ref, loc_ref, e_ref, src_ref, dst_ref, c_ref,
     lam = lam_ref[0, 0]
     lx, ly, lz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
     spos = jnp.dot(
-        e_ref[0], src_ref[0, 0], preferred_element_type=jnp.float32,
+        src_ref[0, 0], e_ref[0], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (TILE, 3*EM)
+    )  # (3*EM, TILE)
     dpos = jnp.dot(
-        e_ref[0], dst_ref[0, 0], preferred_element_type=jnp.float32,
+        dst_ref[0, 0], e_ref[0], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    re_row, im_row = _fwd_math(
+    re_row, im_row = _fwd_math_t(
         lam, lx, ly, lz, spos, dpos, c_ref[0, 0], em
     )
     re_ref[0, 0, 0, :] = re_row
@@ -505,33 +558,39 @@ def _radar_spline_bwd_kernel(lam_ref, loc_ref, e_ref, src_ref, dst_ref,
                              dlam_ref):
     """Hand-derived backward of :func:`_radar_spline_kernel`.
 
-    Each (i, j) grid step OWNS its (1, 1, 4*NS, 3*EM) coefficient-
+    Each (i, j) grid step OWNS its (1, 1, 3*EM, 4*NS) coefficient-
     cotangent output block (unlike the dense kernel's ``+=`` into a
     shared (T_in, 3*EM) block), so the only sequential-grid accumulators
-    left are the small ``dc``/``dloc``/``dlam`` reductions."""
+    left are the small ``dc``/``dloc``/``dlam`` reductions. Transposed
+    layout throughout — see :func:`_radar_spline_kernel`."""
     i, j = pl.program_id(0), pl.program_id(1)
     em = c_ref.shape[-1]
     lam = lam_ref[0, 0]
     lx, ly, lz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
     spos = jnp.dot(
-        e_ref[0], src_ref[0, 0], preferred_element_type=jnp.float32,
+        src_ref[0, 0], e_ref[0], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )
+    )  # (3*EM, TILE)
     dpos = jnp.dot(
-        e_ref[0], dst_ref[0, 0], preferred_element_type=jnp.float32,
+        dst_ref[0, 0], e_ref[0], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    gre = gre_ref[0, 0, 0, :][:, None]
-    gim = gim_ref[0, 0, 0, :][:, None]
-    g_src, g_dst, g_c_row, g_loc, g_lam = _bwd_math(
+    gre = gre_ref[0, 0, 0, :][None, :]  # (1, TILE)
+    gim = gim_ref[0, 0, 0, :][None, :]
+    g_src, g_dst, g_c_row, g_loc, g_lam = _bwd_math_t(
         lam, lx, ly, lz, spos, dpos, c_ref[0, 0], gre, gim, em
     )
-    dsrc_ref[0, 0] = jnp.dot(
-        e_ref[0].T, g_src, preferred_element_type=jnp.float32,
+    # coefficient cotangents: contract the TILE (lane) axis of both
+    # operands — g_src (3*EM, TILE) x e (4*NS, TILE) -> (3*EM, 4*NS)
+    contract_t = (((1,), (1,)), ((), ()))
+    dsrc_ref[0, 0] = jax.lax.dot_general(
+        g_src, e_ref[0], contract_t,
+        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (4*NS, 3*EM)
-    ddst_ref[0, 0] = jnp.dot(
-        e_ref[0].T, g_dst, preferred_element_type=jnp.float32,
+    )
+    ddst_ref[0, 0] = jax.lax.dot_general(
+        g_dst, e_ref[0], contract_t,
+        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
@@ -558,17 +617,18 @@ def _spline_kernel_op(e, src, dst, c, loc, lam, tile):
     """Spline-path kernel boundary: monomial tiles + gathered coefficient
     tiles + bone stats -> padded complex signal.
 
-    Gradient contract: ``e`` (the monomial evaluation constant) gets a
-    ZERO cotangent; ``src``/``dst`` are the TILED coefficient tensors
-    (N, num_tiles, 4*NS, 3*EM) whose cotangent flows back through the
-    caller's (differentiable) gather + coefficient einsum."""
+    Gradient contract: ``e`` (the monomial evaluation constant,
+    (num_tiles, 4*NS, TILE)) gets a ZERO cotangent; ``src``/``dst`` are
+    the TILED coefficient tensors (N, num_tiles, 3*EM, 4*NS) whose
+    cotangent flows back through the caller's (differentiable) gather +
+    coefficient einsum."""
     return _spline_fwd_impl(e, src, dst, c, loc, lam, tile)
 
 
 def _spline_fwd_impl(e, src, dst, c, loc, lam, tile):
     n = src.shape[0]
-    num_tiles, _, ns4 = e.shape
-    em = src.shape[-1] // 3
+    num_tiles, ns4, _ = e.shape
+    em = src.shape[-2] // 3
     lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
     loc2 = jnp.asarray(loc, jnp.float32).reshape(1, 3)
     interpret = jax.default_backend() == "cpu"
@@ -580,9 +640,9 @@ def _spline_fwd_impl(e, src, dst, c, loc, lam, tile):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tile, ns4), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, 1, ns4, 3 * em), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, ns4, 3 * em), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, ns4, tile), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 1, 3 * em, ns4), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 3 * em, ns4), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
@@ -607,8 +667,8 @@ def _spline_vjp_bwd(tile, residuals, g):
     e, src, dst, c, loc, lam = residuals
     gre, gim = g
     n = src.shape[0]
-    num_tiles, _, ns4 = e.shape
-    em = src.shape[-1] // 3
+    num_tiles, ns4, _ = e.shape
+    em = src.shape[-2] // 3
     lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
     loc2 = jnp.asarray(loc, jnp.float32).reshape(1, 3)
     interpret = jax.default_backend() == "cpu"
@@ -620,16 +680,16 @@ def _spline_vjp_bwd(tile, residuals, g):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tile, ns4), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, 1, ns4, 3 * em), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, ns4, 3 * em), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, ns4, tile), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 1, 3 * em, ns4), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 3 * em, ns4), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, 1, tile), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, tile), lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, ns4, 3 * em), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, ns4, 3 * em), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 3 * em, ns4), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 3 * em, ns4), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, em), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -637,8 +697,8 @@ def _spline_vjp_bwd(tile, residuals, g):
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, num_tiles, ns4, 3 * em), jnp.float32),
-            jax.ShapeDtypeStruct((n, num_tiles, ns4, 3 * em), jnp.float32),
+            jax.ShapeDtypeStruct((n, num_tiles, 3 * em, ns4), jnp.float32),
+            jax.ShapeDtypeStruct((n, num_tiles, 3 * em, ns4), jnp.float32),
             jax.ShapeDtypeStruct((n, 1, em), jnp.float32),
             jax.ShapeDtypeStruct((1, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -667,23 +727,28 @@ def _bone_length_mean_sq_spline(bcoef_tiled, e, t_out):
     (= dst coefficients - src coefficients, by linearity of the
     resampler) — the padded bones are evaluated tile-by-tile in a scan
     and never materialized, and the dense operator is not needed at all.
-    Pad rows of ``e`` are all-zero, so no validity mask is required."""
+    Pad rows of ``e`` are all-zero, so no validity mask is required.
+
+    Transposed layout (matches the kernels): ``bcoef_tiled`` is
+    (N, num_tiles, 3*EM, 4*NS) and ``e`` is (num_tiles, 4*NS, TILE), so
+    the per-tile elementwise chain runs on (N, EM, TILE) arrays with the
+    512-wide time axis on lanes — fully dense vector registers."""
     from jax import lax
 
-    n, num_tiles, ns4, f = bcoef_tiled.shape
+    n, num_tiles, f, ns4 = bcoef_tiled.shape
     em = f // 3
 
     def body(acc, inputs):
-        e_j, b_j = inputs  # (tile, ns4), (N, ns4, 3*EM)
+        e_j, b_j = inputs  # (ns4, tile), (N, 3*EM, ns4)
         b = jnp.einsum(
-            "rk,nkf->nrf", e_j, b_j,
+            "nfk,kr->nfr", b_j, e_j,
             precision=jax.lax.Precision.HIGHEST,
-        ).reshape(n, -1, 3, em)
-        s = jnp.sum(b * b, axis=2)  # (N, tile, EM)
+        ).reshape(n, 3, em, -1)
+        s = jnp.sum(b * b, axis=1)  # (N, EM, tile)
         # zero-gradient-at-zero norm: all-zero padded bodies are routine
         zero = s == 0
         length = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, s)))
-        return acc + jnp.sum(length, axis=1), None
+        return acc + jnp.sum(length, axis=-1), None
 
     # no jax.checkpoint on the body: see _bone_length_mean_sq — the
     # ~1 GB of saved scan residuals are cheaper than the recompute on
@@ -741,12 +806,19 @@ def radar_return_spline(
     hi = jax.lax.Precision.HIGHEST
     scoef_s = jnp.einsum("qt,ntf->nqf", cc, src, precision=hi)
     scoef_d = jnp.einsum("qt,ntf->nqf", cc, dst, precision=hi)
+    # transposed tiling for the kernels: (N, num_tiles, 3*EM, 4*NS),
+    # so the kernel contraction emits time-on-lanes (3*EM, TILE) blocks
+    # (see _fwd_math_t); the swap is one cheap XLA copy of ~50 MB and
+    # its autodiff transpose chains back through the gather untouched
     gather = lambda s: (
         s.reshape(n, nseg, 4, f)[:, tile_seg_np]
         .reshape(n, num_tiles, ns4, f)
+        .swapaxes(2, 3)
     )
     tiled_s, tiled_d = gather(scoef_s), gather(scoef_d)
-    e = lax.stop_gradient(jnp.asarray(ev_np))
+    e = lax.stop_gradient(
+        jnp.asarray(np.ascontiguousarray(ev_np.swapaxes(1, 2)))
+    )
 
     c = _bone_length_mean_sq_spline(tiled_d - tiled_s, e, t_out)
     re, im = _spline_kernel_op(
