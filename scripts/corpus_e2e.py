@@ -345,6 +345,7 @@ def main():
     os.makedirs(dst, exist_ok=True)
     with open(os.path.join(dst, "corpus_e2e_REPORT.json"), "w") as f:
         json.dump(report, f, indent=2)
+        f.write("\n")
     lines = [
         "# Corpus-scale end-to-end run",
         "",

@@ -39,11 +39,23 @@ structure that a detuned wavelength genuinely destroys:
   per-sample world offset alone cannot do this: pre-normalization's
   centering removes it exactly.)
 
-Three runs on this corpus: (a) wavelength frozen at the detuned value,
-(b) same detuned init, ``--lambda-train-epoch 2`` staged unfreeze (the
-reference's intended schedule), (c) frozen at the good value (the
-ceiling). Success = best val top-1 of (b) >= (a) AND (b)'s final
-radar_lambda is closer to the good value than the detuned init.
+v3 hardens the evidence (round-3 advisor: v2's conclusion rested on a
+single best-epoch spike in a noisy series):
+
+* arms run at multiple model-init seeds (``--seeds``), and the headline
+  metric is the mean val top-1 over the last k epochs, not the best
+  epoch;
+* the lambda step anneals geometrically per active step
+  (``--lambda-step-decay``, new optimizer capability): v2's constant
+  ±2%/step random walk kept perturbing the spectrogram statistics
+  under the classifier late in training and its accuracy collapsed.
+
+Per seed: (a) wavelength frozen at the detuned value, (b) same detuned
+init, ``--lambda-train-epoch 2`` staged unfreeze (the reference's
+intended schedule); plus one (c) frozen at the good value (the
+ceiling). Success = mean-over-seeds last-k val top-1 of (b) >= (a) AND
+(b)'s final radar_lambda is closer to the good value than the detuned
+init in every seed.
 
 Stages (all via ``--stage``, default ``all``):
 
@@ -212,7 +224,7 @@ def stage_probe(args):
     return results
 
 
-def run_cli(tag, args, logs, extra):
+def run_cli(tag, args, logs, extra, seed=0):
     xview = os.path.join(args.workdir, "ntu", "xview")
     cmd = [
         sys.executable, "-m",
@@ -221,10 +233,11 @@ def run_cli(tag, args, logs, extra):
         "--num-classes", str(NUM_CLASSES),
         "--batch-size", str(args.batch_size),
         "--base-lr", "1e-3",
+        "--seed", str(seed),
         "--data-path", os.path.join(xview, "{}_data_joint.npy"),
         "--label-path", os.path.join(xview, "{}_label.pkl"),
         "--log-dir", logs,
-        "--notes", f"lamlearn_{tag}",
+        "--notes", f"lamlearn_{tag}_s{seed}",
     ] + extra
     print("+", " ".join(cmd), flush=True)
     t0 = time.time()
@@ -238,7 +251,7 @@ def run_cli(tag, args, logs, extra):
     # stream the arm's stdout to a file (an interrupted run keeps its
     # progress; capture_output lost 45 min of the first attempt) and
     # reuse a completed arm's log on re-run instead of re-training
-    arm_log = os.path.join(args.workdir, f"arm_{tag}.log")
+    arm_log = os.path.join(args.workdir, f"arm_{tag}_s{seed}.log")
     done_marker = f"__ARM_DONE rc=0 epochs={args.epochs}__"
     if os.path.exists(arm_log) and done_marker in open(arm_log).read():
         print(f"(reusing completed arm log {arm_log})", flush=True)
@@ -261,11 +274,19 @@ def run_cli(tag, args, logs, extra):
         float(m) for m in re.findall(r"val Loss: \S+ Acc: (\S+)", out)
     ]
     lam_traj = [float(m) for m in re.findall(r"radar_lambda: (\S+)", out)]
+    # robust headline metric: the mean of the last-k epochs. A single
+    # best-epoch spike in a noisy series is not evidence (round-3
+    # advisor finding: the v2 conclusion rested on exactly that).
+    k = max(5, args.epochs // 6)
     return {
         "seconds": round(dt, 1),
         "val_acc": val_acc,
         "final_val_acc": val_acc[-1] if val_acc else None,
         "best_val_acc": max(val_acc) if val_acc else None,
+        "lastk_mean_val_acc": (
+            round(float(np.mean(val_acc[-k:])), 4) if val_acc else None
+        ),
+        "lastk": k,
         "lambda_trajectory": lam_traj,
     }
 
@@ -273,74 +294,133 @@ def run_cli(tag, args, logs, extra):
 def stage_train(args, probe=None):
     logs = os.path.join(args.workdir, "logs")
     detuned = args.detune * GOOD_LAMBDA
+    seeds = [int(s) for s in str(args.seeds).split(",") if s != ""]
     report = {
-        "design": "v2 micro-Doppler frequency-ladder corpus "
+        "design": "v3 micro-Doppler frequency-ladder corpus, multi-seed, "
+                  "annealed lambda step, last-k-mean headline metric "
                   "(see scripts/lambda_learning.py docstring)",
         "num_classes": NUM_CLASSES,
         "good_lambda": GOOD_LAMBDA,
         "detuned_lambda": detuned,
         "epochs": args.epochs,
+        "seeds": seeds,
         "lambda_rel_step": args.lambda_rel_step,
+        "lambda_step_decay": args.lambda_step_decay,
         "unfreeze_epoch": args.unfreeze_epoch,
         "probe": probe,
+        "arms": {},
     }
     dst = os.path.join(_REPO, "runs")
     os.makedirs(dst, exist_ok=True)
 
-    def dump_partial():
+    def dump():
         with open(
             os.path.join(dst, "lambda_learning_REPORT.json"), "w"
         ) as f:
             json.dump(report, f, indent=2)
+            f.write("\n")
 
-    report["frozen_detuned"] = run_cli(
-        "frozen", args, logs, ["--wavelength", str(detuned)])
-    dump_partial()
-    report["unfrozen_detuned"] = run_cli(
-        "unfrozen", args, logs,
-        ["--wavelength", str(detuned),
-         "--lambda-train-epoch", str(args.unfreeze_epoch),
-         "--lambda-rel-step", str(args.lambda_rel_step)],
-    )
-    dump_partial()
-    report["frozen_good"] = run_cli(
-        "good", args, logs, ["--wavelength", str(GOOD_LAMBDA)])
+    for seed in seeds:
+        report["arms"][f"frozen_detuned_s{seed}"] = run_cli(
+            "frozen", args, logs,
+            ["--wavelength", str(detuned)], seed=seed)
+        dump()
+        report["arms"][f"unfrozen_detuned_s{seed}"] = run_cli(
+            "unfrozen", args, logs,
+            ["--wavelength", str(detuned),
+             "--lambda-train-epoch", str(args.unfreeze_epoch),
+             "--lambda-rel-step", str(args.lambda_rel_step),
+             "--lambda-step-decay", str(args.lambda_step_decay)],
+            seed=seed,
+        )
+        dump()
+    report["arms"]["frozen_good"] = run_cli(
+        "good", args, logs, ["--wavelength", str(GOOD_LAMBDA)],
+        seed=seeds[0])
 
-    fr = report["frozen_detuned"]["best_val_acc"]
-    un = report["unfrozen_detuned"]["best_val_acc"]
-    traj = report["unfrozen_detuned"]["lambda_trajectory"]
-    moved = bool(
-        traj and abs(traj[-1] - GOOD_LAMBDA) < abs(detuned - GOOD_LAMBDA)
-    )
+    fr_lastk = [
+        report["arms"][f"frozen_detuned_s{s}"]["lastk_mean_val_acc"]
+        for s in seeds
+    ]
+    un_lastk = [
+        report["arms"][f"unfrozen_detuned_s{s}"]["lastk_mean_val_acc"]
+        for s in seeds
+    ]
+    finals = [
+        report["arms"][f"unfrozen_detuned_s{s}"]["lambda_trajectory"][-1]
+        for s in seeds
+        if report["arms"][f"unfrozen_detuned_s{s}"]["lambda_trajectory"]
+    ]
+    moved = [
+        bool(abs(lam - GOOD_LAMBDA) < abs(detuned - GOOD_LAMBDA))
+        for lam in finals
+    ]
+    report["aggregate"] = {
+        "frozen_detuned_lastk_mean": round(float(np.mean(fr_lastk)), 4),
+        "frozen_detuned_lastk_std": round(float(np.std(fr_lastk)), 4),
+        "unfrozen_detuned_lastk_mean": round(float(np.mean(un_lastk)), 4),
+        "unfrozen_detuned_lastk_std": round(float(np.std(un_lastk)), 4),
+        "per_seed_lambda_final": finals,
+        "per_seed_lambda_moved_toward_good": moved,
+    }
     report["unfrozen_beats_frozen"] = bool(
-        un is not None and fr is not None and un >= fr
+        np.mean(un_lastk) >= np.mean(fr_lastk)
     )
-    report["lambda_moved_toward_good"] = moved
+    report["lambda_moved_toward_good"] = bool(moved and all(moved))
+    dump()
 
-    with open(os.path.join(dst, "lambda_learning_REPORT.json"), "w") as f:
-        json.dump(report, f, indent=2)
-    good = report["frozen_good"]["best_val_acc"]
+    good = report["arms"]["frozen_good"]
+    k = report["arms"]["frozen_good"]["lastk"]
     lines = [
-        "# Learnable radar wavelength: frozen vs staged-unfreeze (v2)",
+        "# Learnable radar wavelength: frozen vs staged-unfreeze (v3)",
         "",
         f"Corpus: {NUM_CLASSES}-class micro-Doppler frequency ladder "
-        f"(`scripts/lambda_learning.py`), {args.epochs} epochs each, "
-        f"detuned init {detuned:g} vs good {GOOD_LAMBDA:g}, unfreeze "
-        f"after epoch {args.unfreeze_epoch}.",
+        f"(`scripts/lambda_learning.py`), {args.epochs} epochs per arm, "
+        f"seeds {seeds}, detuned init {detuned:g} vs good "
+        f"{GOOD_LAMBDA:g}, unfreeze after epoch {args.unfreeze_epoch}, "
+        f"lambda step {args.lambda_rel_step:g} annealed by "
+        f"{args.lambda_step_decay:g}/step.",
         "",
-        "| run | best val top-1 | final lambda |",
-        "|---|---|---|",
-        f"| frozen @ detuned | {fr} | {detuned:g} |",
-        f"| **unfrozen** @ detuned | {un} | "
-        f"{traj[-1] if traj else float('nan'):g} |",
-        f"| frozen @ good | {good} | {GOOD_LAMBDA:g} |",
+        f"Headline metric: mean val top-1 over the last {k} epochs "
+        "(a single best-epoch spike in a noisy series is not evidence; "
+        "per-seed series are in the JSON).",
+        "",
+        f"| arm | seed | last-{k} mean | best | final lambda |",
+        "|---|---|---|---|---|",
+    ]
+    for s in seeds:
+        a = report["arms"][f"frozen_detuned_s{s}"]
+        lines.append(
+            f"| frozen @ detuned | {s} | {a['lastk_mean_val_acc']} "
+            f"| {a['best_val_acc']} | {detuned:g} |")
+    for s in seeds:
+        a = report["arms"][f"unfrozen_detuned_s{s}"]
+        lam = (a["lambda_trajectory"][-1]
+               if a["lambda_trajectory"] else float("nan"))
+        lines.append(
+            f"| unfrozen @ detuned | {s} | {a['lastk_mean_val_acc']} "
+            f"| {a['best_val_acc']} | {lam:g} |")
+    lines += [
+        f"| frozen @ good (ceiling) | {seeds[0]} | "
+        f"{good['lastk_mean_val_acc']} | {good['best_val_acc']} | "
+        f"{GOOD_LAMBDA:g} |",
+        "",
+        f"Aggregate over seeds (last-{k} mean): unfrozen "
+        f"{report['aggregate']['unfrozen_detuned_lastk_mean']} ± "
+        f"{report['aggregate']['unfrozen_detuned_lastk_std']} vs frozen "
+        f"{report['aggregate']['frozen_detuned_lastk_mean']} ± "
+        f"{report['aggregate']['frozen_detuned_lastk_std']}.",
         "",
         f"Probe (nearest-centroid, no training): {probe}",
         "",
-        f"lambda trajectory (unfrozen): {traj}",
+        "lambda trajectory (unfrozen, seed "
+        f"{seeds[0]}): "
+        f"{report['arms'][f'unfrozen_detuned_s{seeds[0]}']['lambda_trajectory']}",
         "",
-        f"unfrozen >= frozen: {report['unfrozen_beats_frozen']}; "
-        f"lambda moved toward good value: {moved}",
+        f"unfrozen >= frozen (last-{k} mean over seeds): "
+        f"{report['unfrozen_beats_frozen']}; "
+        f"lambda moved toward good value in every seed: "
+        f"{report['lambda_moved_toward_good']}",
     ]
     with open(os.path.join(dst, "lambda_learning_REPORT.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -359,9 +439,21 @@ def main():
                     help="detuned init = detune * GOOD_LAMBDA")
     ap.add_argument("--unfreeze-epoch", type=int, default=2)
     ap.add_argument(
+        "--seeds", default="0,1,2",
+        help="comma-separated model-init seeds; frozen/unfrozen arms "
+        "run per seed (the corpus itself is fixed)",
+    )
+    ap.add_argument(
         "--lambda-rel-step", type=float, default=2e-2,
         help="per-step relative lambda move once unfrozen (ln(6)/2e-2 "
         "~ 90 consistent-sign steps to cross a 6x detune)",
+    )
+    ap.add_argument(
+        "--lambda-step-decay", type=float, default=0.998,
+        help="geometric per-active-step anneal of the lambda step; "
+        "bounds total log-space movement at rel_step/(1-decay) = 10 "
+        "(vs ln(6)=1.8 needed) and calms the late-run +-2%%/step "
+        "random walk that collapsed v2's unfrozen-arm accuracy",
     )
     args = ap.parse_args()
 

@@ -421,6 +421,7 @@ def main():
     }
     with open(args.json, "w") as f:
         json.dump(out, f, indent=1)
+        f.write("\n")
     print(
         ("TPU SMOKE PASSED" if failed is None else "TPU SMOKE FAILED")
         + f" -> {args.json}",

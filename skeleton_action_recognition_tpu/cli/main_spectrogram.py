@@ -76,6 +76,13 @@ def get_parser() -> argparse.ArgumentParser:
         help="per-step relative change of radar_lambda once unfrozen",
     )
     parser.add_argument(
+        "--lambda-step-decay", type=float, default=1.0,
+        help="geometric per-step decay of the radar_lambda step once "
+        "unfrozen (1.0 = constant step; e.g. 0.998 bounds the total "
+        "log-space movement at rel_step/(1-decay) and lets lambda "
+        "settle instead of random-walking near the optimum)",
+    )
+    parser.add_argument(
         "--loc-step", type=float, default=1e-2,
         help="per-step radar_loc move in meters once unfrozen",
     )
@@ -123,7 +130,8 @@ def main(argv=None):
     # --num-epochs must land in the SAME run directory
     for k in (
         "data_path", "label_path", "log_dir", "resume", "seed",
-        "lambda_rel_step", "loc_step", "num_epochs", "save_freq",
+        "lambda_rel_step", "lambda_step_decay", "loc_step",
+        "num_epochs", "save_freq",
     ):
         run_params.pop(k, None)
     if arg.lambda_train_epoch > arg.num_epochs:
@@ -182,6 +190,7 @@ def main(argv=None):
         optax.adam(lr),
         lambda_rel_step=arg.lambda_rel_step,
         loc_step=arg.loc_step,
+        lambda_step_decay=arg.lambda_step_decay,
     )
 
     sample, _ = next(iter(datasets["train"].batches()))

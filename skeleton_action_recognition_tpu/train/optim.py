@@ -27,6 +27,8 @@ when ``floor=0`` (steps are a fixed fraction of ``|p|``), and moves
 
 from __future__ import annotations
 
+from typing import Any, NamedTuple
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -52,22 +54,39 @@ def _sanitized_direction(g):
     )
 
 
+class RadarPhysicsState(NamedTuple):
+    """Per-parameter count of steps that actually moved the parameter
+    (steps frozen by the staged-unfreeze mask arrive as all-zero
+    gradients and don't advance the count)."""
+
+    count: Any
+
+
 def radar_physics_transform(
-    rel_step: float = 1e-2, floor: float = 0.0
+    rel_step: float = 1e-2, floor: float = 0.0, step_decay: float = 1.0
 ) -> optax.GradientTransformation:
     """Relative-step normalized-gradient updates for physics parameters.
 
-    ``update = -rel_step * max(max|p|, floor) * direction(g)``.
+    ``update = -rel_step * step_decay^count * max(max|p|, floor)
+    * direction(g)``.
 
     With ``floor=0`` the step is purely relative, so a positive scalar
     (``radar_lambda``) decays/grows geometrically and never crosses
     zero; parameters initialized at zero (``radar_loc``) need a nonzero
     ``floor`` to receive their first step.
+
+    ``step_decay < 1`` anneals the step geometrically per *active* step.
+    A constant relative step random-walks the parameter by ``±rel_step``
+    forever once near an optimum (the measured failure mode of the
+    wavelength experiment: λ oscillated in a ±30% band late in training
+    and val accuracy collapsed with it); decay bounds total log-space
+    movement at ``rel_step / (1 - step_decay)`` and lets λ settle.
     """
 
     def init(params):
-        del params
-        return optax.EmptyState()
+        return RadarPhysicsState(
+            count=jax.tree.map(lambda p: jnp.zeros((), jnp.int32), params)
+        )
 
     def update(grads, state, params=None):
         if params is None:
@@ -76,13 +95,23 @@ def radar_physics_transform(
                 "(use optax.apply_updates pipeline that passes them)"
             )
 
-        def u(g, p):
+        def u(g, p, n):
             scale = rel_step * jnp.maximum(
                 jnp.max(jnp.abs(p)), floor
             )
+            if step_decay != 1.0:
+                scale = scale * jnp.power(
+                    jnp.float32(step_decay), n.astype(jnp.float32)
+                )
             return (-scale * _sanitized_direction(g)).astype(p.dtype)
 
-        return jax.tree.map(u, grads, params), state
+        def bump(g, n):
+            return n + jnp.any(g != 0).astype(jnp.int32)
+
+        updates = jax.tree.map(u, grads, params, state.count)
+        return updates, RadarPhysicsState(
+            count=jax.tree.map(bump, grads, state.count)
+        )
 
     return optax.GradientTransformation(init, update)
 
@@ -108,18 +137,22 @@ def make_radar_optimizer(
     backbone_tx: optax.GradientTransformation,
     lambda_rel_step: float = 1e-2,
     loc_step: float = 1e-2,
+    lambda_step_decay: float = 1.0,
 ) -> optax.GradientTransformation:
     """The spectrogram trainer's optimizer: Adam (or any ``backbone_tx``)
     for the network, relative-step normalized updates for the radar
     physics parameters (see module docstring for why Adam cannot train
     them). ``loc_step`` is in meters: radar_loc starts at the origin, so
     its step is ``loc_step * max(|loc|, 1 m)`` — a fixed ``loc_step``
-    meters at first, relative once the radar moves beyond 1 m."""
+    meters at first, relative once the radar moves beyond 1 m.
+    ``lambda_step_decay`` anneals the wavelength step per active step
+    (see :func:`radar_physics_transform`)."""
     return optax.multi_transform(
         {
             "backbone": backbone_tx,
             "radar_lambda": radar_physics_transform(
-                rel_step=lambda_rel_step, floor=0.0
+                rel_step=lambda_rel_step, floor=0.0,
+                step_decay=lambda_step_decay,
             ),
             "radar_loc": radar_physics_transform(
                 rel_step=loc_step, floor=1.0

@@ -106,6 +106,39 @@ def test_radar_params_train_at_real_wavelength(ntu_examples):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_lambda_step_decay_anneals_only_active_steps():
+    """step_decay halves the relative step per *active* step; masked
+    (all-zero-gradient) steps don't advance the decay counter."""
+    from skeleton_action_recognition_tpu.train import optim as optim_lib
+
+    tx = optim_lib.radar_physics_transform(
+        rel_step=0.1, floor=0.0, step_decay=0.5
+    )
+    p = {"lam": jnp.asarray(1.0)}
+    st = tx.init(p)
+
+    def rel_move(g, p, st):
+        up, st = tx.update({"lam": jnp.asarray(g)}, st, p)
+        newp = {"lam": p["lam"] + up["lam"]}
+        return float(up["lam"] / p["lam"]), newp, st
+
+    r1, p, st = rel_move(3.0, p, st)          # active: full step
+    assert r1 == pytest.approx(-0.1)
+    r0, p, st = rel_move(0.0, p, st)          # frozen: no move, no decay
+    assert r0 == 0.0
+    r2, p, st = rel_move(-7.0, p, st)         # active: halved step
+    assert r2 == pytest.approx(+0.05)
+    r3, p, st = rel_move(1.0, p, st)          # active: quartered step
+    assert r3 == pytest.approx(-0.025)
+    # default (no decay) keeps the legacy constant-step behavior
+    tx0 = optim_lib.radar_physics_transform(rel_step=0.1)
+    p0 = {"lam": jnp.asarray(1.0)}
+    s0 = tx0.init(p0)
+    for _ in range(3):
+        up, s0 = tx0.update({"lam": jnp.asarray(2.0)}, s0, p0)
+        assert float(up["lam"] / p0["lam"]) == pytest.approx(-0.1)
+
+
 def test_freeze_mask_kills_nonfinite_gradients():
     """Frozen params must stay clean even when their raw gradients
     overflow (the radar 4*pi/lambda^2 sums overflow f32 at real scale;
