@@ -139,10 +139,16 @@ def main():
     fused = os.environ.get("BENCH_FUSED_TCONV", "0") != "0"
     fused_sgcn = os.environ.get("BENCH_FUSED_SGCN", "1") != "0"
     sgcn_stats = os.environ.get("BENCH_SGCN_STATS", "0") != "0"
+    # r4 A/B (scripts/bench_decompose.py): fused spatial conv only on the
+    # C>=128 blocks — 466 vs 450 clips/s all-fused vs 382 stock; at C=64
+    # the kernel's VP/block-diagonal padding overhead exceeds the saved
+    # z round-trip (min_channels=256 drops to 421, so C=128 must fuse)
+    sgcn_min = int(os.environ.get("BENCH_SGCN_MIN_CHANNELS", "128"))
     model = stgcn.Model(
         num_classes=60, dtype=jnp.bfloat16, remat=False,
         fused_tconv=fused, fused_sgcn=fused_sgcn,
         sgcn_stats=sgcn_stats and fused_sgcn,
+        fused_sgcn_min_channels=sgcn_min,
     )
     tx = optax.sgd(0.1, momentum=0.9, nesterov=True)
     state = create_train_state(model, jax.random.key(0), x[:1], tx)

@@ -127,6 +127,30 @@ VARIANTS = {
         "stock_sgcn", 128,
         dict(dtype=jnp.bfloat16, remat=False, fused_sgcn=False),
     ),
+    # fused spatial conv only where it wins (the C=64 blocks lose to
+    # stock XLA per the per-shape microbench)
+    "mixed_sgcn": lambda: time_variant(
+        "mixed_sgcn", 128,
+        dict(dtype=jnp.bfloat16, remat=False, fused_sgcn=True,
+             fused_sgcn_min_channels=128),
+    ),
+    "mixed_sgcn_b256": lambda: time_variant(
+        "mixed_sgcn_b256", 256,
+        dict(dtype=jnp.bfloat16, remat=False, fused_sgcn=True,
+             fused_sgcn_min_channels=128),
+    ),
+    # B=256 no-remat OOMs (23.7G > 15.8G HBM); 'dots' saves matmul/conv
+    # outputs only and recomputes the elementwise chains
+    "mixed_dots_b256": lambda: time_variant(
+        "mixed_dots_b256", 256,
+        dict(dtype=jnp.bfloat16, remat=True, remat_policy="dots",
+             fused_sgcn=True, fused_sgcn_min_channels=128),
+    ),
+    "mixed_min256": lambda: time_variant(
+        "mixed_min256", 128,
+        dict(dtype=jnp.bfloat16, remat=False, fused_sgcn=True,
+             fused_sgcn_min_channels=256),
+    ),
     "f32": lambda: time_variant(
         "f32", 128, dict(dtype=None, remat=False, fused_sgcn=True),
     ),

@@ -368,6 +368,11 @@ class STGCNBackbone(nn.Module):
     fused_sgcn: bool = False
     fused_adjacency: Optional[np.ndarray] = None
     sgcn_stats: bool = False
+    # fused spatial kernel only for blocks with >= this many output
+    # channels: at C=64 the kernel's VP/block-diagonal padding overhead
+    # exceeds the saved z-intermediate HBM round-trip, while the wide
+    # blocks win (per-shape microbench + end-to-end A/B, ROADMAP #1)
+    fused_sgcn_min_channels: int = 0
 
     @nn.compact
     def __call__(self, x, a, train: bool):
@@ -385,6 +390,10 @@ class STGCNBackbone(nn.Module):
         else:
             block_cls = nn.remat(STConvBlock, static_argnums=(3,))
         for i, (filters, stride, residual) in enumerate(self.block_plan):
+            fuse_here = (
+                self.fused_sgcn
+                and filters >= self.fused_sgcn_min_channels
+            )
             x, a = block_cls(
                 filters,
                 stride=stride,
@@ -392,8 +401,10 @@ class STGCNBackbone(nn.Module):
                 sgcn_factory=self.sgcn_factory,
                 dtype=self.dtype,
                 fused_tconv=self.fused_tconv,
-                fused_sgcn=self.fused_sgcn,
-                fused_adjacency=self.fused_adjacency,
+                fused_sgcn=fuse_here,
+                fused_adjacency=(
+                    self.fused_adjacency if fuse_here else None
+                ),
                 sgcn_stats=self.sgcn_stats,
                 name=f"block_{i}",
             )(x, a, train)
@@ -425,6 +436,9 @@ class Model(nn.Module):
     # with fused_sgcn: BN1 batch stats from the spatial kernel's epilogue
     # (no separate reduce pass over the spatial activation)
     sgcn_stats: bool = False
+    # fused spatial conv only on blocks with >= this many channels (the
+    # narrow C=64 blocks lose to stock XLA — padding overhead > HBM win)
+    fused_sgcn_min_channels: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -449,5 +463,6 @@ class Model(nn.Module):
             fused_sgcn=self.fused_sgcn,
             fused_adjacency=a_init if self.fused_sgcn else None,
             sgcn_stats=self.sgcn_stats,
+            fused_sgcn_min_channels=self.fused_sgcn_min_channels,
             name="backbone",
         )(x, a, train)

@@ -117,6 +117,27 @@ def test_fused_model_trains_and_matches_stock():
         )
 
 
+def test_mixed_fused_model_matches_stock():
+    """fused_sgcn_min_channels routes only the wide blocks through the
+    kernel (the production default: C=64 blocks lose to stock XLA on
+    v5e); the mixed model must share the stock variable tree and match
+    a train step from shared init."""
+    new_s, m_s, new_f, m_f = _one_step_pair(
+        dict(fused_sgcn=True, fused_sgcn_min_channels=128)
+    )
+    np.testing.assert_allclose(
+        float(m_s["loss"]), float(m_f["loss"]), rtol=1e-4
+    )
+    for (p, a_), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(new_s.params),
+        jax.tree_util.tree_leaves_with_path(new_f.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), **_MODEL_TOL,
+            err_msg=jax.tree_util.keystr(p),
+        )
+
+
 def test_fused_sgcn_plus_tconv_trains():
     """Both Pallas kernels together: loss matches and the updated
     params stay within the chaotic-chain noise floor of stock."""
