@@ -228,20 +228,31 @@ def main():
         state = create_train_state(
             full, jax.random.key(0), x[:1], optax.adam(1e-3)
         )
-        step = make_radar_train_step(BATCH)
         y = jax.nn.one_hot(
             jnp.asarray(rng.integers(0, 60, size=BATCH)), 60
         )
 
-        def body(x, c):
-            # thread the updated state into the result so the backward
-            # + optimizer update cannot be dead-code-eliminated
-            s2, m = step(state, x + c * 0, y, False, False)
-            leaves = jax.tree_util.tree_leaves(s2.params)
-            anchor = sum(l.ravel()[0] for l in leaves)
-            return (m["loss"] + anchor * 1e-12) * 1e-9
+        def body_for(step):
+            def body(x, c):
+                # thread the updated state into the result so the
+                # backward + optimizer update cannot be DCE'd
+                s2, m = step(state, x + c * 0, y)
+                leaves = jax.tree_util.tree_leaves(s2.params)
+                anchor = sum(l.ravel()[0] for l in leaves)
+                return (m["loss"] + anchor * 1e-12) * 1e-9
 
-        timeit("model_train", body, x)
+            return body
+
+        # frozen phase (production default): the radar backward is DCE'd
+        timeit("model_train", body_for(make_radar_train_step(BATCH)), x)
+        # unfrozen phase: full radar backward (lambda + loc gradients)
+        timeit(
+            "model_train_unfrozen",
+            body_for(make_radar_train_step(
+                BATCH, train_lambda=True, train_loc=True
+            )),
+            x,
+        )
 
 
 if __name__ == "__main__":

@@ -42,7 +42,10 @@ def main():
     from skeleton_action_recognition_tpu.models import spectrogram
     from skeleton_action_recognition_tpu.train import (
         create_train_state,
-        make_train_step,
+        optim as optim_lib,
+    )
+    from skeleton_action_recognition_tpu.train.steps import (
+        make_radar_train_step,
     )
 
     rng = np.random.default_rng(0)
@@ -56,32 +59,44 @@ def main():
     model = spectrogram.Model(
         num_classes=60, num_pad_frames=250, use_pallas=True
     )
+    # the production trainer's exact optimizer and step
+    # (cli/main_spectrogram.py): Adam for the backbone, the physics
+    # partition for radar_lambda/radar_loc
     state = create_train_state(
-        model, jax.random.key(0), x[:1], optax.adam(1e-4)
+        model, jax.random.key(0), x[:1],
+        optim_lib.make_radar_optimizer(optax.adam(1e-4)),
     )
-    step = make_train_step(global_batch_size=BATCH)
 
-    def multi(k):
-        @jax.jit
-        def run(s):
-            def body(s, _):
-                s, m = step(s, x, y, False)
-                return s, m["loss"]
+    def measure(step):
+        def multi(k):
+            @jax.jit
+            def run(s):
+                def body(s, _):
+                    s, m = step(s, x, y)
+                    return s, m["loss"]
 
-            return jax.lax.scan(body, s, None, length=k)[1][-1]
+                return jax.lax.scan(body, s, None, length=k)[1][-1]
 
-        return run
+            return run
 
-    f1, fn = multi(1), multi(STEPS)
-    float(f1(state))
-    float(fn(state))
-    t0 = time.perf_counter()
-    float(f1(state))
-    d1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(fn(state))
-    dn = time.perf_counter() - t0
-    per = (dn - d1) / (STEPS - 1)
+        f1, fn = multi(1), multi(STEPS)
+        float(f1(state))
+        float(fn(state))
+        t0 = time.perf_counter()
+        float(f1(state))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(fn(state))
+        dn = time.perf_counter() - t0
+        return (dn - d1) / (STEPS - 1)
+
+    # frozen phase (the trainer's default; radar backward is DCE'd —
+    # the freeze flags are compile-time static, train/steps.py) and
+    # unfrozen phase (staged-unfreeze epochs: full radar backward)
+    per = measure(make_radar_train_step(BATCH))
+    per_unfrozen = measure(
+        make_radar_train_step(BATCH, train_lambda=True, train_loc=True)
+    )
 
     print(json.dumps({
         "metric": "spectrogram_train_clips_per_sec_per_chip",
@@ -89,6 +104,8 @@ def main():
         "unit": "clips/s",
         "batch": BATCH,
         "ms_per_step": round(per * 1e3, 2),
+        "unfrozen_clips_per_sec": round(BATCH / per_unfrozen, 2),
+        "unfrozen_ms_per_step": round(per_unfrozen * 1e3, 2),
     }))
 
 

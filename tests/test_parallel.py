@@ -92,16 +92,14 @@ def test_radar_train_step_matches_single_device(
     state = create_train_state(model, jax.random.key(0), x[:1], tx)
     step_fn = steps_mod.make_radar_train_step(global_batch_size=8)
 
-    s1, m1 = jax.jit(step_fn)(state, x, y, False, False)
+    s1, m1 = jax.jit(step_fn)(state, x, y)
 
     mesh = parallel.create_mesh(devices=eight_devices)
     dp = parallel.DataParallel(mesh)
     s2 = dp.shard_state(create_train_state(model, jax.random.key(0),
                                            x[:1], tx))
     xb, yb = dp.shard_batch(np.asarray(x), np.asarray(y))
-    s2, m2 = dp.jit_train_step(step_fn, n_flags=2)(
-        s2, xb, yb, False, False
-    )
+    s2, m2 = dp.jit_train_step(step_fn, n_flags=0)(s2, xb, yb)
 
     np.testing.assert_allclose(
         float(m1["loss"]), float(m2["loss"]), rtol=1e-4

@@ -30,12 +30,18 @@ def test_staged_unfreeze_of_radar_params(radar_state):
     (the reference's intended-but-broken main_spectrogram.py:128-136)."""
     _, state, x = radar_state
     y = jax.nn.one_hot(jnp.asarray([0, 1]), 4)
-    step = jax.jit(steps_lib.make_radar_train_step(2))
+
+    def step_for(tl, tloc):
+        return jax.jit(
+            steps_lib.make_radar_train_step(
+                2, train_lambda=tl, train_loc=tloc
+            )
+        )
 
     lam0 = float(state.params["virtual_radar"]["radar_lambda"])
     loc0 = np.asarray(state.params["virtual_radar"]["radar_loc"])
 
-    s_frozen, _ = step(state, x, y, False, False)
+    s_frozen, _ = step_for(False, False)(state, x, y)
     assert float(
         s_frozen.params["virtual_radar"]["radar_lambda"]
     ) == lam0
@@ -43,13 +49,13 @@ def test_staged_unfreeze_of_radar_params(radar_state):
         np.asarray(s_frozen.params["virtual_radar"]["radar_loc"]), loc0
     )
 
-    s_lam, _ = step(state, x, y, True, False)
+    s_lam, _ = step_for(True, False)(state, x, y)
     assert float(s_lam.params["virtual_radar"]["radar_lambda"]) != lam0
     np.testing.assert_array_equal(
         np.asarray(s_lam.params["virtual_radar"]["radar_loc"]), loc0
     )
 
-    s_loc, _ = step(state, x, y, False, True)
+    s_loc, _ = step_for(False, True)(state, x, y)
     assert (
         np.abs(
             np.asarray(s_loc.params["virtual_radar"]["radar_loc"]) - loc0
@@ -65,7 +71,7 @@ def test_radar_training_decreases_loss(radar_state):
     step = jax.jit(steps_lib.make_radar_train_step(2))
     losses = []
     for _ in range(6):
-        state, m = step(state, x, y, False, False)
+        state, m = step(state, x, y)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
@@ -89,9 +95,13 @@ def test_radar_params_train_at_real_wavelength(ntu_examples):
     lam0 = float(state.params["virtual_radar"]["radar_lambda"])
     assert lam0 == pytest.approx(5e-4)
 
-    step = jax.jit(steps_lib.make_radar_train_step(2))
+    step = jax.jit(
+        steps_lib.make_radar_train_step(
+            2, train_lambda=True, train_loc=True
+        )
+    )
     for _ in range(10):
-        state, m = step(state, x, y, True, True)
+        state, m = step(state, x, y)
 
     lam = float(state.params["virtual_radar"]["radar_lambda"])
     loc = np.asarray(state.params["virtual_radar"]["radar_loc"])
