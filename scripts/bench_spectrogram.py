@@ -56,8 +56,12 @@ def main():
         jnp.asarray(rng.integers(0, 60, size=BATCH)), 60
     )
 
+    # BENCH_SPEC_DTYPE=bfloat16 A/Bs the ResNet backbone compute dtype
+    # (the radar+STFT stay f32 regardless — phase needs the mantissa)
+    dt = os.environ.get("BENCH_SPEC_DTYPE", "float32")
     model = spectrogram.Model(
-        num_classes=60, num_pad_frames=250, use_pallas=True
+        num_classes=60, num_pad_frames=250, use_pallas=True,
+        dtype=jnp.bfloat16 if dt == "bfloat16" else None,
     )
     # the production trainer's exact optimizer and step
     # (cli/main_spectrogram.py): Adam for the backbone, the physics

@@ -107,7 +107,7 @@ def main():
 
     def conv4(a, k, c):
         y = jax.lax.conv_general_dilated(
-            a + c * 0, k, (1, 1), "SAME",
+            a * (1 + c * 0).astype(a.dtype), k, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
         )
@@ -124,7 +124,7 @@ def main():
 
     def conv_grouped(a, k, c):
         y = jax.lax.conv_general_dilated(
-            a + c * 0, k, (1,), "SAME",
+            a * (1 + c * 0).astype(a.dtype), k, (1,), "SAME",
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=V,
             preferred_element_type=jnp.float32,

@@ -61,6 +61,42 @@ def test_fused_layer_matches_stock_with_shared_params():
     )
 
 
+def test_kernel_tail_groups_match_einsum():
+    """T values whose tile isn't a multiple of the full group size
+    exercise the tail-group path (T=10 -> groups [4,4,2]; T=25 ->
+    [4]*6+[1] — the real model's T=75/T=150 shapes reduce to these):
+    forward AND gradients must match the einsum reference."""
+    rng = np.random.default_rng(3)
+    a = Graph("spatial").A.astype(np.float32)
+    k = a.shape[0]
+    for t in (10, 25):
+        nm, v, c_in, co = 2, 25, 8, 16
+        x = jnp.asarray(
+            rng.normal(size=(nm, t, v, c_in)).astype(np.float32)
+        )
+        w = jnp.asarray(
+            rng.normal(size=(c_in, k * co)).astype(np.float32) * 0.1
+        )
+        b = jnp.asarray(rng.normal(size=(k * co,)).astype(np.float32))
+
+        def ref(x_, w_, b_):
+            z = (x_ @ w_ + b_).reshape(x_.shape[:-1] + (k, co))
+            return jnp.einsum("ntvko,kvw->ntwo", z, jnp.asarray(a))
+
+        fgc = make_fused_graph_conv(a, v)
+        np.testing.assert_allclose(
+            np.asarray(ref(x, w, b)), np.asarray(fgc(x, w, b)),
+            rtol=1e-5, atol=1e-5, err_msg=f"fwd t={t}",
+        )
+        g0 = jax.grad(lambda s: jnp.sum(jnp.sin(ref(*s))))((x, w, b))
+        g1 = jax.grad(lambda s: jnp.sum(jnp.sin(fgc(*s))))((x, w, b))
+        for name, p0, p1 in zip(["g_x", "g_w", "g_b"], g0, g1):
+            np.testing.assert_allclose(
+                np.asarray(p0), np.asarray(p1),
+                rtol=2e-4, atol=1e-5, err_msg=f"{name} t={t}",
+            )
+
+
 def _one_step_pair(fused_kwargs, seed=7):
     import optax
 
