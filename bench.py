@@ -144,8 +144,15 @@ def main():
     # the kernel's VP/block-diagonal padding overhead exceeds the saved
     # z round-trip (min_channels=256 drops to 421, so C=128 must fuse)
     sgcn_min = int(os.environ.get("BENCH_SGCN_MIN_CHANNELS", "128"))
+    # BENCH_REMAT: "0" (default, store everything), "full", or "dots"
+    # (save matmul outputs, recompute elementwise in the backward). Full
+    # remat at B=256 measured 390.7 — a loss; "dots" at the HBM-bound
+    # B=128 shape is the untried variant this knob exists to A/B.
+    remat = os.environ.get("BENCH_REMAT", "0")
     model = stgcn.Model(
-        num_classes=60, dtype=jnp.bfloat16, remat=False,
+        num_classes=60, dtype=jnp.bfloat16,
+        remat=remat != "0",
+        remat_policy=remat if remat != "0" else "full",
         fused_tconv=fused, fused_sgcn=fused_sgcn,
         sgcn_stats=sgcn_stats and fused_sgcn,
         fused_sgcn_min_channels=sgcn_min,
