@@ -105,6 +105,13 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile-dir", default="")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
+        "--steps-per-dispatch", type=int, default=1,
+        help="scan this many optimizer steps per device dispatch "
+        "(lax.scan over pre-staged batches). Amortizes the per-step "
+        "host->device round trip; step-for-step equivalent to 1 "
+        "(tests/test_parallel.py). 1 = reference-style per-batch calls",
+    )
+    parser.add_argument(
         "--dtype", default="float32", choices=["float32", "bfloat16"],
         help="compute dtype for matmul-heavy layers (params stay f32)",
     )
@@ -139,7 +146,7 @@ def build_log_dir(arg) -> str:
     for k in (
         "train_data_path", "test_data_path", "log_dir", "save_freq",
         "freeze_graph_until", "resume", "profile_dir", "seed",
-        "num_epochs", "fused_sgcn_min_channels",
+        "num_epochs", "fused_sgcn_min_channels", "steps_per_dispatch",
     ):
         run_params.pop(k, None)
     name = config_lib.run_name_from_args(run_params, notes=arg.notes)
@@ -240,8 +247,11 @@ def main(argv=None):
             print(f"resumed from step {step} (epoch {start_epoch})")
 
     state = dp.shard_state(state)
-    train_step = dp.jit_train_step(
-        steps_lib.make_train_step(global_batch, arg.l2_weight)
+    base_step = steps_lib.make_train_step(global_batch, arg.l2_weight)
+    train_step = dp.jit_train_step(base_step)
+    multi_step = (
+        dp.jit_multi_train_step(base_step)
+        if arg.steps_per_dispatch > 1 else None
     )
     eval_step = dp.jit_eval_step(steps_lib.make_eval_step())
 
@@ -270,15 +280,27 @@ def main(argv=None):
         pending = []
         # prefetch_to_device: batch i+1's host->HBM copy is issued
         # before step i is awaited (double-buffering, VERDICT r2 item 7)
-        for (xs, ys) in parallel.prefetch_to_device(
-            itertools.islice(train_data.batches(), steps_per_epoch),
-            dp.shard_host_batch,
-        ):
-            state, m = train_step(
+        batches = itertools.islice(train_data.batches(), steps_per_epoch)
+        if multi_step is not None:
+            # K optimizer steps per device dispatch: the per-call
+            # host<->device round trip is the CLI's gap to the pure
+            # device-loop rate (bench.py), and a lax.scan over K
+            # pre-staged batches amortizes it K-fold
+            batches = parallel.group_batches(
+                batches, arg.steps_per_dispatch
+            )
+            place_fn, step_fn = dp.shard_multi_batch, multi_step
+        else:
+            place_fn, step_fn = dp.shard_host_batch, train_step
+        for (xs, ys) in parallel.prefetch_to_device(batches, place_fn):
+            state, m = step_fn(
                 state, xs, ys, epoch > arg.freeze_graph_until
             )
             pending.append(m)
-        for m in jax.device_get(pending):
+        for m in (
+            mm for got in jax.device_get(pending)
+            for mm in metrics_lib.unstack_steps(got)
+        ):
             ce_m.update(float(m["loss"]))
             acc_m.update(int(m["correct"]), int(m["count"]))
             acc5_m.update(int(m["correct_top5"]), int(m["count"]))

@@ -104,6 +104,13 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
+        "--steps-per-dispatch", type=int, default=1,
+        help="scan this many optimizer steps per device dispatch "
+        "(lax.scan over pre-staged batches). Amortizes the per-step "
+        "host->device round trip; step-for-step equivalent to 1 "
+        "(tests/test_parallel.py). 1 = reference-style per-batch calls",
+    )
+    parser.add_argument(
         "--profile-dir", default="",
         help="write a jax.profiler trace of one train step here "
         "(the reference's add_graph/trace analogue)",
@@ -131,7 +138,7 @@ def main(argv=None):
     for k in (
         "data_path", "label_path", "log_dir", "resume", "seed",
         "lambda_rel_step", "lambda_step_decay", "loc_step",
-        "num_epochs", "save_freq",
+        "num_epochs", "save_freq", "steps_per_dispatch",
     ):
         run_params.pop(k, None)
     if arg.lambda_train_epoch > arg.num_epochs:
@@ -217,14 +224,16 @@ def main(argv=None):
     # crosses at most two phase boundaries, so at most 3 compiles.
     _step_cache = {}
 
-    def train_step_for(tl: bool, tloc: bool):
-        key = (bool(tl), bool(tloc))
+    def train_step_for(tl: bool, tloc: bool, multi: bool = False):
+        key = (bool(tl), bool(tloc), bool(multi))
         if key not in _step_cache:
-            _step_cache[key] = dp.jit_train_step(
-                steps_lib.make_radar_train_step(
-                    global_batch, train_lambda=key[0], train_loc=key[1]
-                ),
-                n_flags=0,
+            base = steps_lib.make_radar_train_step(
+                global_batch, train_lambda=key[0], train_loc=key[1]
+            )
+            _step_cache[key] = (
+                dp.jit_multi_train_step(base, n_flags=0)
+                if multi
+                else dp.jit_train_step(base, n_flags=0)
             )
         return _step_cache[key]
 
@@ -256,15 +265,34 @@ def main(argv=None):
                 # GNN trainer's pattern. TB scalars written afterwards
                 # are value-identical.
                 pending = []
+                batches = datasets[phase].batches()
+                if arg.steps_per_dispatch > 1:
+                    # K optimizer steps per device dispatch (lax.scan
+                    # over pre-staged batches) — amortizes the per-call
+                    # host<->device round trip K-fold
+                    batches = parallel.group_batches(
+                        batches, arg.steps_per_dispatch
+                    )
+                    place_fn = dp.shard_multi_batch
+                    step_fn = train_step_for(
+                        train_lambda, train_loc, multi=True
+                    )
+                else:
+                    place_fn, step_fn = dp.shard_host_batch, train_step
                 for (xs, ys) in parallel.prefetch_to_device(
-                    datasets[phase].batches(), dp.shard_host_batch
+                    batches, place_fn
                 ):
-                    state, m = train_step(state, xs, ys)
+                    state, m = step_fn(state, xs, ys)
                     pending.append(m)
-                for i, m in enumerate(jax.device_get(pending)):
+                i = 0
+                for m in (
+                    mm for got in jax.device_get(pending)
+                    for mm in metrics_lib.unstack_steps(got)
+                ):
                     loss_m.update(float(m["loss"]))
                     acc_m.update(int(m["correct"]), int(m["count"]))
                     step_idx = epoch * len(datasets[phase]) + i
+                    i += 1
                     writer.add_scalar(
                         f"{phase}_cross_entropy_loss",
                         loss_m.result(),

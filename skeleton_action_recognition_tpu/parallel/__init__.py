@@ -8,6 +8,7 @@ from skeleton_action_recognition_tpu.parallel.mesh import (
 )
 from skeleton_action_recognition_tpu.parallel.sharding import (
     DataParallel,
+    group_batches,
     prefetch_to_device,
     shard_batch,
 )
@@ -15,6 +16,7 @@ from skeleton_action_recognition_tpu.parallel.sharding import (
 __all__ = [
     "DataParallel",
     "create_mesh",
+    "group_batches",
     "local_device_count",
     "maybe_initialize_distributed",
     "mesh",

@@ -78,6 +78,63 @@ class DataParallel:
             donate_argnums=(0,),
         )
 
+    def multi_batch_sharding(self) -> NamedSharding:
+        """Sharding for ``(K, B, ...)`` stacks of K micro-batches: the
+        scan axis K is unsharded, the batch axis B splits over the
+        mesh."""
+        return NamedSharding(self.mesh, P(None, self.axis))
+
+    def shard_multi_batch(self, *arrays):
+        """Place ``(K, B, ...)`` stacked micro-batches (see
+        :func:`group_batches`); multi-host processes pass their local
+        ``(K, B/process_count, ...)`` slices, mirroring
+        :meth:`shard_host_batch`."""
+        sh = self.multi_batch_sharding()
+        if jax.process_count() == 1:
+            out = tuple(jax.device_put(a, sh) for a in arrays)
+        else:
+            out = tuple(
+                jax.make_array_from_process_local_data(sh, np.asarray(a))
+                for a in arrays
+            )
+        return out if len(out) > 1 else out[0]
+
+    def jit_multi_train_step(self, step, n_flags: int = 1):
+        """Compile a ``lax.scan`` over K micro-batches — ONE device
+        dispatch per K optimizer steps.
+
+        Per-step dispatch through a high-latency device transport (the
+        remote-TPU tunnel here; same reason ``tf.data`` pushes iteration
+        into the device loop) caps CLI training throughput well below
+        the compiled step's own rate; scanning K steps per call
+        amortizes that latency K-fold. Takes ``(state, xs, ys, *flags)``
+        with ``xs/ys`` stacked ``(K, B, ...)``; returns the final state
+        and metrics stacked ``(K,)`` — step-for-step equivalent to K
+        sequential :meth:`jit_train_step` calls up to f32 reassociation
+        in the separately-compiled programs (``tests/test_parallel.py``).
+        The scan length is static, so each distinct K (the group size
+        plus at most one epoch-tail remainder) compiles once.
+        """
+
+        def multi(state, xs, ys, *flags):
+            def body(s, xy):
+                s, m = step(s, xy[0], xy[1], *flags)
+                return s, m
+
+            return jax.lax.scan(body, state, (xs, ys))
+
+        return jax.jit(
+            multi,
+            in_shardings=(
+                self.replicated,
+                self.multi_batch_sharding(),
+                self.multi_batch_sharding(),
+            )
+            + (None,) * n_flags,
+            out_shardings=(self.replicated, self.replicated),
+            donate_argnums=(0,),
+        )
+
     def jit_eval_step(self, step):
         return jax.jit(
             step,
@@ -89,6 +146,29 @@ class DataParallel:
 def shard_batch(mesh: Mesh, array, axis: str = "data"):
     """One-off batch placement helper."""
     return jax.device_put(array, NamedSharding(mesh, P(axis)))
+
+
+def group_batches(iterator, k: int):
+    """Stack consecutive ``(x, y)`` batches into ``(K, B, ...)``
+    super-batches for :meth:`DataParallel.jit_multi_train_step`.
+
+    Yields stacks of exactly ``k`` batches; a final shorter stack
+    carries the epoch's remainder (its scan program compiles once —
+    the tail length is the same every epoch). Requires constant ``B``
+    across the iterator (the trainers drop the partial batch in the
+    train phase, so this holds there).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    buf_x, buf_y = [], []
+    for x, y in iterator:
+        buf_x.append(x)
+        buf_y.append(y)
+        if len(buf_x) == k:
+            yield np.stack(buf_x), np.stack(buf_y)
+            buf_x, buf_y = [], []
+    if buf_x:
+        yield np.stack(buf_x), np.stack(buf_y)
 
 
 def prefetch_to_device(iterator, place_fn, depth: int = 2):

@@ -70,3 +70,19 @@ class ConfusionMatrix:
 
     def reset(self):
         self.matrix[...] = 0
+
+
+def unstack_steps(metrics: dict):
+    """Split a metrics dict whose leaves are stacked ``(K,)`` arrays
+    (the output of a K-step scan dispatch,
+    ``parallel.DataParallel.jit_multi_train_step``) into K per-step
+    dicts; a plain single-step dict (scalar leaves) yields ``[metrics]``.
+    Keeps the trainers' per-iteration TensorBoard scalars identical
+    regardless of the dispatch granularity."""
+    count = np.asarray(metrics["count"])
+    if count.ndim == 0:
+        return [metrics]
+    return [
+        {k: np.asarray(v)[i] for k, v in metrics.items()}
+        for i in range(count.shape[0])
+    ]

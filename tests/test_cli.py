@@ -67,8 +67,14 @@ def test_main_gnn_end_to_end(tiny_tfrecord_dataset, tmp_path):
     )
     assert steps[-1] == 2
 
-    # resume path: continue for one more epoch from the latest checkpoint
-    main_gnn.main(argv[:5] + ["3"] + argv[6:] + ["--resume"])
+    # resume path: continue for one more epoch from the latest
+    # checkpoint, with the scanned K-steps-per-dispatch trainer loop
+    # (covers group_batches + jit_multi_train_step + unstack_steps e2e,
+    # including the epoch-tail remainder stack)
+    main_gnn.main(
+        argv[:5] + ["3"] + argv[6:]
+        + ["--resume", "--steps-per-dispatch", "2"]
+    )
 
 
 @pytest.mark.slow
