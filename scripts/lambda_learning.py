@@ -191,9 +191,21 @@ def stage_probe(args):
     x = jnp.asarray(np.array(data[idx]), jnp.float32)
     y = labels[idx]
 
+    points = [("good", GOOD_LAMBDA),
+              ("detuned", args.detune * GOOD_LAMBDA)]
+    # optional sweep (multiples of GOOD_LAMBDA): maps the separability
+    # landscape between good and detuned, to check whether the chosen
+    # detune sits inside a monotone recovery basin (v4) or out on the
+    # collapsed plateau (v3's 6x, where the lambda gradient had no
+    # consistent sign and the staged unfreeze random-walked)
+    for mult in args.probe_sweep:
+        points.append((f"x{mult:g}", mult * GOOD_LAMBDA))
+    seen = set()
     results = {}
-    for tag, lam in [("good", GOOD_LAMBDA),
-                     ("detuned", args.detune * GOOD_LAMBDA)]:
+    for tag, lam in points:
+        if lam in seen:
+            continue
+        seen.add(lam)
         model = spectrogram.VirtualRadar(
             num_pad_frames=250, wavelength=lam, use_pallas=True,
         )
@@ -221,6 +233,18 @@ def stage_probe(args):
         acc = float((d.argmin(1) == y[~tr]).mean())
         results[tag] = {"lambda": lam, "centroid_acc": round(acc, 4)}
         print(f"{tag}: lambda={lam:g} centroid_acc={acc:.4f}", flush=True)
+    # cache in the workdir (merged across invocations) so a later
+    # --stage train picks the landscape up into its report even when
+    # the stages run as separate processes
+    cache = os.path.join(args.workdir, "probe_results.json")
+    merged = {}
+    if os.path.exists(cache):
+        with open(cache) as fh:
+            merged = json.load(fh)
+    merged.update(results)
+    with open(cache, "w") as fh:
+        json.dump(merged, fh, indent=2)
+        fh.write("\n")
     return results
 
 
@@ -250,8 +274,15 @@ def run_cli(tag, args, logs, extra, seed=0):
     }
     # stream the arm's stdout to a file (an interrupted run keeps its
     # progress; capture_output lost 45 min of the first attempt) and
-    # reuse a completed arm's log on re-run instead of re-training
-    arm_log = os.path.join(args.workdir, f"arm_{tag}_s{seed}.log")
+    # reuse a completed arm's log on re-run instead of re-training.
+    # The log name is keyed by the arm's wavelength so regime variants
+    # (different --detune) never reuse each other's runs; legacy v3
+    # logs (no lam key) are only picked up for the detune-independent
+    # good arm via the explicit copy in stage_train.
+    lam = extra[extra.index("--wavelength") + 1]
+    arm_log = os.path.join(
+        args.workdir, f"arm_{tag}_lam{lam}_s{seed}.log"
+    )
     done_marker = f"__ARM_DONE rc=0 epochs={args.epochs}__"
     if os.path.exists(arm_log) and done_marker in open(arm_log).read():
         print(f"(reusing completed arm log {arm_log})", flush=True)
@@ -296,8 +327,9 @@ def stage_train(args, probe=None):
     detuned = args.detune * GOOD_LAMBDA
     seeds = [int(s) for s in str(args.seeds).split(",") if s != ""]
     report = {
-        "design": "v3 micro-Doppler frequency-ladder corpus, multi-seed, "
-                  "annealed lambda step, last-k-mean headline metric "
+        "design": "micro-Doppler frequency-ladder corpus, multi-seed, "
+                  "annealed lambda step, last-k-mean headline metric, "
+                  f"detune {args.detune:g}x "
                   "(see scripts/lambda_learning.py docstring)",
         "num_classes": NUM_CLASSES,
         "good_lambda": GOOD_LAMBDA,
@@ -315,7 +347,9 @@ def stage_train(args, probe=None):
 
     def dump():
         with open(
-            os.path.join(dst, "lambda_learning_REPORT.json"), "w"
+            os.path.join(
+                dst, f"lambda_learning{args.report_suffix}_REPORT.json"
+            ), "w"
         ) as f:
             json.dump(report, f, indent=2)
             f.write("\n")
@@ -372,7 +406,8 @@ def stage_train(args, probe=None):
     good = report["arms"]["frozen_good"]
     k = report["arms"]["frozen_good"]["lastk"]
     lines = [
-        "# Learnable radar wavelength: frozen vs staged-unfreeze (v3)",
+        "# Learnable radar wavelength: frozen vs staged-unfreeze "
+        f"(detune {args.detune:g}x)",
         "",
         f"Corpus: {NUM_CLASSES}-class micro-Doppler frequency ladder "
         f"(`scripts/lambda_learning.py`), {args.epochs} epochs per arm, "
@@ -422,7 +457,11 @@ def stage_train(args, probe=None):
         f"lambda moved toward good value in every seed: "
         f"{report['lambda_moved_toward_good']}",
     ]
-    with open(os.path.join(dst, "lambda_learning_REPORT.md"), "w") as f:
+    with open(
+        os.path.join(
+            dst, f"lambda_learning{args.report_suffix}_REPORT.md"
+        ), "w",
+    ) as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({k: report[k] for k in (
         "unfrozen_beats_frozen", "lambda_moved_toward_good")}))
@@ -444,6 +483,19 @@ def main():
         "run per seed (the corpus itself is fixed)",
     )
     ap.add_argument(
+        "--probe-sweep", default="",
+        help="comma-separated extra probe lambdas as multiples of "
+        "GOOD_LAMBDA (e.g. '1.5,2,3,4'): maps the separability "
+        "landscape so a training detune can be placed inside the "
+        "monotone recovery basin",
+    )
+    ap.add_argument(
+        "--report-suffix", default="",
+        help="suffix for runs/lambda_learning<suffix>_REPORT.{json,md} "
+        "so regime variants (e.g. _d2 within-basin) don't overwrite "
+        "the main report",
+    )
+    ap.add_argument(
         "--lambda-rel-step", type=float, default=2e-2,
         help="per-step relative lambda move once unfrozen (ln(6)/2e-2 "
         "~ 90 consistent-sign steps to cross a 6x detune)",
@@ -456,6 +508,9 @@ def main():
         "random walk that collapsed v2's unfrozen-arm accuracy",
     )
     args = ap.parse_args()
+    args.probe_sweep = [
+        float(s) for s in str(args.probe_sweep).split(",") if s
+    ]
 
     if args.stage in ("synth", "probe", "train", "all"):
         stage_synth(args)
@@ -463,6 +518,11 @@ def main():
     if args.stage in ("probe", "all"):
         probe = stage_probe(args)
     if args.stage in ("train", "all"):
+        if probe is None:
+            cache = os.path.join(args.workdir, "probe_results.json")
+            if os.path.exists(cache):
+                with open(cache) as fh:
+                    probe = json.load(fh)
         stage_train(args, probe)
 
 
