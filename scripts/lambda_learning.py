@@ -371,6 +371,19 @@ def stage_train(args, probe=None):
     report["arms"]["frozen_good"] = run_cli(
         "good", args, logs, ["--wavelength", str(GOOD_LAMBDA)],
         seed=seeds[0])
+    dump()
+    # control arm: unfreeze AT the good wavelength. Tests whether
+    # lambda-training is at least harmless when the user's guess is
+    # already right (the realistic reference use case) — i.e. whether
+    # the optimum is a stationary point of the training gradient or
+    # the same up-lambda drift seen off-optimum pulls it away.
+    report["arms"]["unfrozen_good"] = run_cli(
+        "unfrozen_good", args, logs,
+        ["--wavelength", str(GOOD_LAMBDA),
+         "--lambda-train-epoch", str(args.unfreeze_epoch),
+         "--lambda-rel-step", str(args.lambda_rel_step),
+         "--lambda-step-decay", str(args.lambda_step_decay)],
+        seed=seeds[0])
 
     fr_lastk = [
         report["arms"][f"frozen_detuned_s{s}"]["lastk_mean_val_acc"]
@@ -435,10 +448,16 @@ def stage_train(args, probe=None):
         lines.append(
             f"| unfrozen @ detuned | {s} | {a['lastk_mean_val_acc']} "
             f"| {a['best_val_acc']} | {lam:g} |")
+    ug = report["arms"]["unfrozen_good"]
+    ug_lam = (ug["lambda_trajectory"][-1]
+              if ug["lambda_trajectory"] else float("nan"))
     lines += [
         f"| frozen @ good (ceiling) | {seeds[0]} | "
         f"{good['lastk_mean_val_acc']} | {good['best_val_acc']} | "
         f"{GOOD_LAMBDA:g} |",
+        f"| unfrozen @ good (control) | {seeds[0]} | "
+        f"{ug['lastk_mean_val_acc']} | {ug['best_val_acc']} | "
+        f"{ug_lam:g} |",
         "",
         f"Aggregate over seeds (last-{k} mean): unfrozen "
         f"{report['aggregate']['unfrozen_detuned_lastk_mean']} ± "
