@@ -210,7 +210,28 @@ def main(argv=None):
     )
     start_epoch = 0
     if arg.resume:
-        state, extra, step = manager.restore(state)
+        try:
+            state, extra, step = manager.restore(state)
+        except Exception:
+            # opt_state structure drift (e.g. checkpoints saved before
+            # radar_physics_transform grew RadarPhysicsState in r4 —
+            # ADVICE r4 / MIGRATION.md §resume): fall back to restoring
+            # params + batch_stats only and rebuild the optimizer state
+            # fresh. Adam moments and the physics step-decay count are
+            # lost; parameters and the epoch counter are not.
+            params, batch_stats, step = manager.restore_for_eval(
+                state.params, state.batch_stats
+            )
+            extra = manager.restore_extra(step)
+            if step is not None:
+                state = state.replace(
+                    params=params, batch_stats=batch_stats, step=step
+                )
+                print(
+                    "resume: opt_state structure mismatch — restored "
+                    "params/batch_stats only, optimizer state "
+                    "re-initialized"
+                )
         if step is not None:
             start_epoch = (extra or {}).get("epoch", 0) + 1
 

@@ -162,6 +162,13 @@ def group_batches(iterator, k: int):
         raise ValueError(f"k must be >= 1, got {k}")
     buf_x, buf_y = [], []
     for x, y in iterator:
+        if buf_x and x.shape[0] != buf_x[0].shape[0]:
+            raise ValueError(
+                "group_batches (--steps-per-dispatch > 1) requires a "
+                "constant batch size across the iterator, got "
+                f"{x.shape[0]} after {buf_x[0].shape[0]} — feed it a "
+                "drop_remainder iterator"
+            )
         buf_x.append(x)
         buf_y.append(y)
         if len(buf_x) == k:

@@ -72,14 +72,21 @@ class CheckpointManager:
         restored = self._mgr.restore(
             step, args=ocp.args.Composite(state=restore_args)
         )
-        extra = None
+        return restored["state"], self.restore_extra(step), step
+
+    def restore_extra(self, step: Optional[int]) -> Optional[dict]:
+        """Restore only the JSON ``extra`` payload of ``step`` (None if
+        the step has none) — usable when the state tree itself cannot be
+        restored (opt_state structure drift fallback)."""
+        if step is None:
+            return None
         extra_path = os.path.join(self.directory, str(step), "extra")
-        if os.path.exists(extra_path):
-            restored_extra = self._mgr.restore(
-                step, args=ocp.args.Composite(extra=ocp.args.JsonRestore())
-            )
-            extra = restored_extra.get("extra")
-        return restored["state"], extra, step
+        if not os.path.exists(extra_path):
+            return None
+        restored_extra = self._mgr.restore(
+            step, args=ocp.args.Composite(extra=ocp.args.JsonRestore())
+        )
+        return restored_extra.get("extra")
 
     def restore_for_eval(
         self,

@@ -106,6 +106,11 @@ def radar_physics_transform(
             return (-scale * _sanitized_direction(g)).astype(p.dtype)
 
         def bump(g, n):
+            # count a step as active only when the *sanitized* direction
+            # is nonzero: an all-NaN gradient (NaN != 0 is True) zeroes
+            # out in _sanitized_direction, so it must not consume decay
+            # budget while moving nothing (ADVICE r4)
+            g = jnp.nan_to_num(g, nan=0.0, posinf=1.0, neginf=-1.0)
             return n + jnp.any(g != 0).astype(jnp.int32)
 
         updates = jax.tree.map(u, grads, params, state.count)

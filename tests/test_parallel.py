@@ -195,6 +195,19 @@ def test_group_batches_stacks_and_tail():
         list(group_batches(iter(batches), 0))
 
 
+def test_group_batches_rejects_ragged_batch():
+    """A ragged final batch (non-drop-remainder caller) raises a named
+    error instead of an opaque np.stack shape error (ADVICE r4)."""
+    from skeleton_action_recognition_tpu.parallel import group_batches
+
+    batches = [
+        (np.zeros((2, 3), np.float32), np.zeros((2,), np.int32)),
+        (np.zeros((1, 3), np.float32), np.zeros((1,), np.int32)),
+    ]
+    with pytest.raises(ValueError, match="drop_remainder"):
+        list(group_batches(iter(batches), 2))
+
+
 def test_unstack_steps_roundtrip():
     """unstack_steps splits (K,)-stacked metric leaves into K per-step
     dicts and passes plain scalar dicts through unchanged."""

@@ -149,6 +149,31 @@ def test_lambda_step_decay_anneals_only_active_steps():
         assert float(up["lam"] / p0["lam"]) == pytest.approx(-0.1)
 
 
+def test_all_nan_gradient_consumes_no_decay_budget():
+    """An all-NaN gradient produces a zero update (sanitized direction),
+    so it must not advance the step_decay counter either (ADVICE r4:
+    NaN != 0 is True, which previously counted it as active); an
+    all-inf gradient keeps its sign and IS active."""
+    from skeleton_action_recognition_tpu.train import optim as optim_lib
+
+    tx = optim_lib.radar_physics_transform(
+        rel_step=0.1, floor=0.0, step_decay=0.5
+    )
+    p = {"lam": jnp.asarray(1.0)}
+    st = tx.init(p)
+    up, st = tx.update({"lam": jnp.asarray(jnp.nan)}, st, p)
+    assert float(up["lam"]) == 0.0
+    assert int(st.count["lam"]) == 0
+    # next real step still gets the full (undecayed) relative step
+    up, st = tx.update({"lam": jnp.asarray(2.0)}, st, p)
+    assert float(up["lam"] / p["lam"]) == pytest.approx(-0.1)
+    assert int(st.count["lam"]) == 1
+    # inf keeps its sign: active, moves, and consumes budget
+    up, st = tx.update({"lam": jnp.asarray(-jnp.inf)}, st, p)
+    assert float(up["lam"] / p["lam"]) == pytest.approx(+0.05)
+    assert int(st.count["lam"]) == 2
+
+
 def test_freeze_mask_kills_nonfinite_gradients():
     """Frozen params must stay clean even when their raw gradients
     overflow (the radar 4*pi/lambda^2 sums overflow f32 at real scale;

@@ -97,6 +97,44 @@ def test_checkpoint_save_restore_resume(tmp_path, ntu_examples):
     mgr.close()
 
 
+def test_checkpoint_structure_drift_fallback(tmp_path, ntu_examples):
+    """The resume fallback for opt_state structure drift (ADVICE r4 /
+    MIGRATION.md §3): a checkpoint saved with one optimizer tree fails
+    StandardRestore against a template with a different one, but
+    restore_for_eval + restore_extra recover params/batch_stats/epoch —
+    the exact path cli.main_spectrogram takes for pre-RadarPhysicsState
+    checkpoints."""
+    x = jnp.asarray(ntu_examples[:2, :, :16])
+    y = jax.nn.one_hot(jnp.asarray([0, 1]), 60)
+    model = stgcn.Model(num_classes=60)
+    state = create_train_state(
+        model, jax.random.key(0), x, optax.sgd(1e-2, momentum=0.9)
+    )
+    step = jax.jit(make_train_step(global_batch_size=2))
+    state, _ = step(state, x, y, False)
+
+    mgr = ckpt_lib.CheckpointManager(str(tmp_path / "drift"))
+    mgr.save(3, jax.device_get(state), {"epoch": 3})
+
+    # a template whose opt_state tree differs (adam vs sgd-momentum)
+    template = create_train_state(
+        model, jax.random.key(9), x, optax.adam(1e-3)
+    )
+    with pytest.raises(Exception):
+        mgr.restore(template)
+    params, batch_stats, rstep = mgr.restore_for_eval(
+        template.params, template.batch_stats
+    )
+    assert rstep == 3
+    assert mgr.restore_extra(rstep) == {"epoch": 3}
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
 def test_checkpoint_fresh_start(tmp_path):
     mgr = ckpt_lib.CheckpointManager(str(tmp_path / "empty"))
     template = {"a": np.zeros(3)}
