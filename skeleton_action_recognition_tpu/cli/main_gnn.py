@@ -28,7 +28,6 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from skeleton_action_recognition_tpu import parallel
 from skeleton_action_recognition_tpu.data.pipeline import (
@@ -38,6 +37,7 @@ from skeleton_action_recognition_tpu.data.pipeline import (
 from skeleton_action_recognition_tpu.train import (
     checkpoint as ckpt_lib,
     metrics as metrics_lib,
+    optim as optim_lib,
     schedules,
     steps as steps_lib,
     train_state as ts_lib,
@@ -227,7 +227,11 @@ def main(argv=None):
     # (with the hardcoded constant, decay never fires on small corpora).
     boundaries = [e * steps_per_epoch for e in arg.steps]
     lr = schedules.piecewise_constant(arg.base_lr, boundaries)
-    tx = optax.sgd(lr, momentum=0.9, nesterov=True)
+    # Keras-2 SGD semantics (lr folded into the velocity), not
+    # optax.sgd: the two differ transiently after each decay boundary
+    # and the reference trainer is Keras (train/optim.py::tf_sgd;
+    # trajectory-pinned vs real TF in tests/test_tf_parity.py)
+    tx = optim_lib.tf_sgd(lr, momentum=0.9, nesterov=True)
 
     sample, _ = next(iter(train_data.batches()))
     # init on one sample: params/stats are batch-size independent, and an
@@ -241,7 +245,26 @@ def main(argv=None):
     )
     start_epoch = 0
     if arg.resume:
-        state, extra, step = manager.restore(state)
+        try:
+            state, extra, step = manager.restore(state)
+        except Exception:
+            # opt_state structure drift (e.g. checkpoints from builds
+            # that used optax.sgd's trace before tf_sgd's velocity —
+            # MIGRATION.md §resume): restore params/batch_stats/epoch,
+            # rebuild optimizer state fresh (momentum restarts).
+            params, batch_stats, step = manager.restore_for_eval(
+                state.params, state.batch_stats
+            )
+            extra = manager.restore_extra(step)
+            if step is not None:
+                state = state.replace(
+                    params=params, batch_stats=batch_stats, step=step
+                )
+                print(
+                    "resume: opt_state structure mismatch — restored "
+                    "params/batch_stats only, optimizer state "
+                    "re-initialized"
+                )
         if step is not None:
             start_epoch = (extra or {}).get("epoch", 0) + 1
             print(f"resumed from step {step} (epoch {start_epoch})")

@@ -121,6 +121,71 @@ def radar_physics_transform(
     return optax.GradientTransformation(init, update)
 
 
+class TFSGDState(NamedTuple):
+    """Keras-2 SGD slot state: per-parameter velocity + step count."""
+
+    count: Any
+    velocity: Any
+
+
+def tf_sgd(
+    learning_rate, momentum: float = 0.9, nesterov: bool = True
+) -> optax.GradientTransformation:
+    """SGD with exact Keras-2 semantics (``tf.keras.optimizers.SGD``,
+    the reference GNN optimizer — ``main_gnn.py:312-314``).
+
+    Keras folds the learning rate into the velocity at accumulation
+    time::
+
+        v   <- momentum * v - lr(t) * g
+        p   += momentum * v - lr(t) * g        (nesterov)
+        p   += v                               (plain momentum)
+
+    whereas ``optax.sgd`` keeps an lr-free trace and scales the whole
+    trace by the *current* lr. The two coincide while lr is constant,
+    but differ transiently after every schedule boundary: at a 10x
+    PiecewiseConstantDecay drop (``main_gnn.py:303-311``) optax
+    instantly shrinks the momentum carried from the high-lr phase by
+    10x, while Keras lets it decay geometrically (~0.9^n). Matching the
+    reference's trajectory bit-for-bit across boundaries requires the
+    Keras rule, so this is the GNN trainer's optimizer.
+
+    ``learning_rate`` may be a float or an optax schedule; the schedule
+    is evaluated at the pre-increment step count, exactly like Keras
+    evaluates ``lr(self.iterations)`` before incrementing.
+    """
+
+    def init(params):
+        return TFSGDState(
+            count=jnp.zeros((), jnp.int32),
+            velocity=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        lr = (
+            learning_rate(state.count)
+            if callable(learning_rate)
+            else learning_rate
+        )
+
+        def vel(v, g):
+            return momentum * v - lr * g
+
+        velocity = jax.tree.map(vel, state.velocity, grads)
+        if nesterov:
+            updates = jax.tree.map(
+                lambda v, g: momentum * v - lr * g, velocity, grads
+            )
+        else:
+            updates = velocity
+        return updates, TFSGDState(
+            count=state.count + 1, velocity=velocity
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
 def _path_label(path) -> str:
     for p in path:
         key = str(getattr(p, "key", getattr(p, "name", "")))
