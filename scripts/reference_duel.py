@@ -184,6 +184,7 @@ def train_ours(xview, args, seed, runlog):
          "--train-data-path", os.path.join(xview, "train_data_joint"),
          "--test-data-path", os.path.join(xview, "val_data_joint"),
          "--log-dir", logs, "--save-freq", "1000",
+         "--steps-per-dispatch", str(args.ours_steps_per_dispatch),
          "--seed", str(seed), "--notes", f"duel_s{seed}"],
         runlog,
     )
@@ -233,6 +234,12 @@ def main():
     ap.add_argument("--base-lr", type=float, default=0.02)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2],
                     help="our runs (the reference trainer is unseeded)")
+    ap.add_argument(
+        "--ours-steps-per-dispatch", type=int, default=5,
+        help="K-step scan dispatch for our CLI arm — the axon tunnel's "
+        "per-dispatch RTT dominates small-corpus epochs at K=1 "
+        "(accuracy-identical, tests/test_parallel.py)",
+    )
     ap.add_argument("--workdir", default="/tmp/duel")
     ap.add_argument("--ref-timeout", type=int, default=6 * 3600)
     ap.add_argument("--skip-reference", action="store_true")
