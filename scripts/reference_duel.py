@@ -172,6 +172,13 @@ def prepare_reference(workdir):
 
 
 def train_ours(xview, args, seed, runlog):
+    art = os.path.join(args.workdir, f"ours_s{seed}.json")
+    if os.path.exists(art):
+        with open(art) as f:
+            rec = json.load(f)
+        print(f"ours seed {seed}: reusing {art} "
+              f"(tail3 {tail_mean(rec['val_top1']):.4f})")
+        return rec
     logs = os.path.join(args.workdir, f"ours_logs_s{seed}")
     stdout, dt = run(
         [sys.executable, "-m",
@@ -190,11 +197,21 @@ def train_ours(xview, args, seed, runlog):
     )
     traj = [float(m.group(1)) for m in EPOCH_RE.finditer(stdout)]
     top5 = [float(m.group(2)) for m in EPOCH_RE.finditer(stdout)]
-    return {"seed": seed, "val_top1": traj, "val_top5": top5,
-            "wall_seconds": round(dt, 1)}
+    rec = {"seed": seed, "val_top1": traj, "val_top5": top5,
+           "wall_seconds": round(dt, 1)}
+    with open(art, "w") as f:
+        json.dump(rec, f)
+    return rec
 
 
 def train_reference(xview, args, runlog):
+    art = os.path.join(args.workdir, "ref.json")
+    if os.path.exists(art):
+        with open(art) as f:
+            rec = json.load(f)
+        print(f"reference: reusing {art} "
+              f"(tail3 {tail_mean(rec['val_top1']):.4f})")
+        return rec
     ref = prepare_reference(args.workdir)
     logs = os.path.join(args.workdir, "ref_logs")
     stdout, dt = run(
@@ -213,8 +230,11 @@ def train_reference(xview, args, runlog):
     )
     traj = [float(m.group(1)) for m in EPOCH_RE.finditer(stdout)]
     top5 = [float(m.group(2)) for m in EPOCH_RE.finditer(stdout)]
-    return {"val_top1": traj, "val_top5": top5,
-            "wall_seconds": round(dt, 1)}
+    rec = {"val_top1": traj, "val_top5": top5,
+           "wall_seconds": round(dt, 1)}
+    with open(art, "w") as f:
+        json.dump(rec, f)
+    return rec
 
 
 def tail_mean(traj, k=3):
@@ -243,6 +263,12 @@ def main():
     ap.add_argument("--workdir", default="/tmp/duel")
     ap.add_argument("--ref-timeout", type=int, default=6 * 3600)
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument(
+        "--only-reference", action="store_true",
+        help="run just the CPU reference arm (writes ref.json and "
+        "exits; arms are resumable via per-arm JSON artifacts, so the "
+        "slow TF run can proceed while the TPU tunnel is down)",
+    )
     ap.add_argument(
         "--calibrate", type=float, nargs="+", default=None,
         metavar="D",
@@ -284,6 +310,10 @@ def main():
         args.workdir, args.num_classes, args.clips_per_class,
         args.difficulty, runlog,
     )
+
+    if args.only_reference:
+        train_reference(xview, args, runlog)
+        return
 
     report["ours"] = [
         train_ours(xview, args, s, runlog) for s in args.seeds
