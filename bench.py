@@ -236,8 +236,12 @@ def _spectrogram_metrics():
     y = jax.nn.one_hot(
         jnp.asarray(rng.integers(0, 60, size=SPEC_BATCH)), 60
     )
+    # BENCH_PALLAS_STFT=1: A/B the fused Pallas STFT+log-magnitude
+    # (ops/pallas/stft.py) against the default XLA polyphase path
+    pallas_stft = os.environ.get("BENCH_PALLAS_STFT", "0") != "0"
     model = spectrogram.Model(
-        num_classes=60, num_pad_frames=250, use_pallas=True
+        num_classes=60, num_pad_frames=250, use_pallas=True,
+        use_pallas_stft=pallas_stft,
     )
     state = create_train_state(
         model, jax.random.key(0), x[:1],

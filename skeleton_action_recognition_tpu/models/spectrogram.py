@@ -60,6 +60,10 @@ class VirtualRadar(nn.Module):
     num_pad_frames: int = 0
     pad_sigma: float = 3.0
     use_pallas: bool = False  # fused Pallas kernel for the radar return
+    # fused Pallas STFT+log-magnitude (ops/pallas/stft.py). Requires
+    # frozen bases (the kernel's gradient contract); trainable-basis
+    # configs fall back to the XLA path below.
+    use_pallas_stft: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -102,6 +106,12 @@ class VirtualRadar(nn.Module):
                 re, im = radar_return_upsampled(x, w, loc, lam, self.edges)
         else:
             re, im = radar_return(x, loc, lam, self.edges)
+        if self.use_pallas_stft and not self.train_stft_kernel:
+            from skeleton_action_recognition_tpu.ops.pallas.stft import (
+                stft_logmag,
+            )
+
+            return stft_logmag(re, im, self.hop_length, cos, sin)
         s_re, s_im = stft_ops.stft_complex(
             re, im, self.hop_length, cos, sin
         )
@@ -119,6 +129,7 @@ class Model(nn.Module):
     train_stft_kernel: bool = False
     num_pad_frames: int = 0
     use_pallas: bool = False
+    use_pallas_stft: bool = False
     # compute dtype for the ResNet backbone (params stay f32). The radar
     # return + STFT stay f32 regardless: the phase term 4*pi*d/lambda is
     # ~1e4 radians at real wavelengths — bf16's ~3 decimal digits would
@@ -132,6 +143,7 @@ class Model(nn.Module):
             train_stft_kernel=self.train_stft_kernel,
             num_pad_frames=self.num_pad_frames,
             use_pallas=self.use_pallas,
+            use_pallas_stft=self.use_pallas_stft,
             name="virtual_radar",
         )(x)
         spec = nearest_resize_torch(spec, self.image_size, self.image_size)
