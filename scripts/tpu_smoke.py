@@ -8,6 +8,7 @@ finiteness) between every Pallas kernel family and its XLA reference:
 * fused radar forward + hand-derived backward vs ``radar_return_upsampled``
 * fused spatial graph-conv (sgcn) forward + grads vs the einsum oracle
 * fused BN->ReLU->tconv kernel forward + grads vs the flax-chain oracle
+* fused STFT+log-magnitude vs the XLA polyphase chain (production shape)
 * plus end-to-end sanity: one ST-GCN train step and the folded predictor
 
 Writes a machine-readable record (max abs/rel errors per stage) to the
@@ -382,6 +383,52 @@ def check_tconv():
     _record("tconv_bwd", worst <= 2e-2, rel_worst=worst)
 
 
+def check_stft():
+    """Fused STFT+log-magnitude vs the XLA polyphase chain at the
+    production radar shape (T=75000, n_fft=256, hop=16): Mosaic must
+    lower the polyphase reshapes / lane-offset concats and the backward
+    carry chain, and match numerically."""
+    from skeleton_action_recognition_tpu.ops import stft as stft_ops
+    from skeleton_action_recognition_tpu.ops.pallas.stft import (
+        stft_logmag,
+    )
+
+    rng = np.random.default_rng(5)
+    n, t = 2, 75000
+    re = jnp.asarray(rng.normal(size=(n, t)).astype(np.float32))
+    im = jnp.asarray(rng.normal(size=(n, t)).astype(np.float32))
+    cos_np, sin_np = stft_ops.stft_basis(256)
+    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+
+    @jax.default_matmul_precision("highest")
+    def oracle(re, im):
+        s_re, s_im = stft_ops.stft_complex(re, im, 16, cos, sin)
+        return stft_ops.log_magnitude(s_re, s_im)
+
+    want = jax.jit(oracle)(re, im)
+    got = jax.jit(lambda r, i: stft_logmag(r, i, 16, cos, sin))(re, im)
+    _, r_fwd = _err(got, want)
+    _record("stft_fwd", r_fwd <= 1e-3, rel=r_fwd)
+
+    w = jnp.asarray(
+        rng.normal(size=want.shape).astype(np.float32)
+    )
+    g0 = jax.jit(
+        jax.grad(lambda r, i: jnp.sum(oracle(r, i) * w), argnums=(0, 1))
+    )(re, im)
+    g1 = jax.jit(
+        jax.grad(
+            lambda r, i: jnp.sum(stft_logmag(r, i, 16, cos, sin) * w),
+            argnums=(0, 1),
+        )
+    )(re, im)
+    worst = 0.0
+    for p0, p1 in zip(g0, g1):
+        _, r = _err(p1, p0)
+        worst = max(worst, r)
+    _record("stft_bwd", worst <= 1e-3, rel_worst=worst)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -405,6 +452,7 @@ def main():
         lambda: check_radar(d),
         check_sgcn,
         check_tconv,
+        check_stft,
     ):
         try:
             fn()
