@@ -59,8 +59,12 @@ def main():
     # BENCH_SPEC_DTYPE=bfloat16 A/Bs the ResNet backbone compute dtype
     # (the radar+STFT stay f32 regardless — phase needs the mantissa)
     dt = os.environ.get("BENCH_SPEC_DTYPE", "float32")
+    # BENCH_SPEC_STFT=pallas A/Bs the fused Pallas STFT+log-magnitude
+    # kernel (ops/pallas/stft.py) against the XLA framing path
+    stft_kind = os.environ.get("BENCH_SPEC_STFT", "xla")
     model = spectrogram.Model(
         num_classes=60, num_pad_frames=250, use_pallas=True,
+        use_pallas_stft=stft_kind == "pallas",
         dtype=jnp.bfloat16 if dt == "bfloat16" else None,
     )
     # the production trainer's exact optimizer and step
@@ -110,6 +114,8 @@ def main():
         "ms_per_step": round(per * 1e3, 2),
         "unfrozen_clips_per_sec": round(BATCH / per_unfrozen, 2),
         "unfrozen_ms_per_step": round(per_unfrozen * 1e3, 2),
+        "stft": stft_kind,
+        "dtype": dt,
     }))
 
 
