@@ -236,9 +236,11 @@ def _spectrogram_metrics():
     y = jax.nn.one_hot(
         jnp.asarray(rng.integers(0, 60, size=SPEC_BATCH)), 60
     )
-    # BENCH_PALLAS_STFT=1: A/B the fused Pallas STFT+log-magnitude
-    # (ops/pallas/stft.py) against the default XLA polyphase path
-    pallas_stft = os.environ.get("BENCH_PALLAS_STFT", "0") != "0"
+    # BENCH_PALLAS_STFT=0: A/B the XLA polyphase path against the fused
+    # Pallas STFT+log-magnitude (ops/pallas/stft.py) — the production
+    # default since the r5 A/B (frozen 1116 vs 947 clips/s at B=16;
+    # unfrozen a wash within run-to-run noise)
+    pallas_stft = os.environ.get("BENCH_PALLAS_STFT", "1") != "0"
     model = spectrogram.Model(
         num_classes=60, num_pad_frames=250, use_pallas=True,
         use_pallas_stft=pallas_stft,

@@ -55,12 +55,19 @@ def main():
     out = os.path.join(args.workdir, "ntu")
     os.makedirs(args.workdir, exist_ok=True)
 
+    expect = args.clips_per_class * args.num_classes
     t0 = time.time()
-    n = synthesize_corpus(
-        raw, args.clips_per_class, num_classes=args.num_classes
-    )
-    synth_s = time.time() - t0
-    print(f"synthesized {n} files in {synth_s:.0f}s", flush=True)
+    if os.path.isdir(raw) and len(os.listdir(raw)) == expect:
+        # raw tree pre-synthesized (e.g. while the CPU was busy with an
+        # unrelated run) — only the data_gen phase below is measured
+        n, synth_s = expect, 0.0
+        print(f"reusing {n} pre-synthesized files", flush=True)
+    else:
+        n = synthesize_corpus(
+            raw, args.clips_per_class, num_classes=args.num_classes
+        )
+        synth_s = time.time() - t0
+        print(f"synthesized {n} files in {synth_s:.0f}s", flush=True)
 
     skip = os.path.join(args.workdir, "missing.txt")
     open(skip, "a").close()

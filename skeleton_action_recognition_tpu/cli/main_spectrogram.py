@@ -101,6 +101,14 @@ def get_parser() -> argparse.ArgumentParser:
         help="fused Pallas radar kernels (fwd + hand-derived bwd; +30%% "
         "measured over the XLA path; --no-use-pallas to disable)",
     )
+    parser.add_argument(
+        "--use-pallas-stft", action=argparse.BooleanOptionalAction,
+        default=True,
+        help="fused Pallas STFT+log-magnitude kernel (+17%% measured on "
+        "frozen-radar steps at B=16; parity-gated on hardware by "
+        "scripts/tpu_smoke.py). Trainable-STFT model configs "
+        "(train_stft_kernel=True) always use the XLA path",
+    )
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
@@ -163,6 +171,7 @@ def main(argv=None):
         num_filters=arg.num_filters,
         num_pad_frames=arg.num_pad_frames,
         use_pallas=arg.use_pallas,
+        use_pallas_stft=arg.use_pallas_stft,
     )
     if arg.wavelength is not None:
         model_kwargs["wavelength"] = arg.wavelength

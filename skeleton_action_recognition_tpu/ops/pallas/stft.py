@@ -108,7 +108,7 @@ def _frame_block(sig_ref, start, k: int, tile: int, n_fft: int,
     ``(Q, n_fft)`` reshape of the base slice — each of the k parts is an
     aligned-width slice + reshape, interleaved back on the sublane axis."""
     q = tile // k
-    base = sig_ref[:, pl.ds(start, lslice)]  # (1, lslice)
+    base = sig_ref[0, :, pl.ds(start, lslice)]  # (1, lslice)
     segs = [
         base[:, hop * r : hop * r + q * n_fft].reshape(q, n_fft)
         for r in range(k)
@@ -123,7 +123,8 @@ def _fwd_kernel(sig_re_ref, sig_im_ref, kf_ref, out_ref, *,
     fr_re = _frame_block(sig_re_ref, start, k, tile, n_fft, hop, lslice)
     fr_im = _frame_block(sig_im_ref, start, k, tile, n_fft, hop, lslice)
     x = jnp.concatenate([fr_re, fr_im], axis=1)  # (TILE, 2*n_fft)
-    y = jnp.dot(x, kf_ref[:], preferred_element_type=jnp.float32)
+    y = jnp.dot(x, kf_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     re_o, im_o = y[:, :f], y[:, f:]
     mag = jnp.sqrt(re_o * re_o + im_o * im_o)
     out_ref[0] = jnp.log(mag + eps)
@@ -151,7 +152,7 @@ def _overlap_add(d_fr, carry_ref, out_ref, blk, *, k, tile, n_fft,
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
     spill = lslice - seg
-    out_ref[:] = acc[:, :seg] + jnp.pad(
+    out_ref[0, 0] = acc[:, :seg] + jnp.pad(
         carry_ref[:], ((0, 0), (0, seg - spill))
     )
     carry_ref[:] = acc[:, seg:]
@@ -166,7 +167,8 @@ def _bwd_kernel(sig_re_ref, sig_im_ref, kf_ref, kb_ref, g_ref,
     fr_re = _frame_block(sig_re_ref, start, k, tile, n_fft, hop, lslice)
     fr_im = _frame_block(sig_im_ref, start, k, tile, n_fft, hop, lslice)
     x = jnp.concatenate([fr_re, fr_im], axis=1)
-    y = jnp.dot(x, kf_ref[:], preferred_element_type=jnp.float32)
+    y = jnp.dot(x, kf_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     re_o, im_o = y[:, :f], y[:, f:]
     mag2 = re_o * re_o + im_o * im_o
     mag = jnp.sqrt(mag2)
@@ -175,7 +177,8 @@ def _bwd_kernel(sig_re_ref, sig_im_ref, kf_ref, kb_ref, g_ref,
     inv = jnp.where(mag2 > 0.0, 1.0 / (mag * (mag + eps) + 1e-30), 0.0)
     g = g_ref[0] * inv
     gx = jnp.concatenate([g * re_o, g * im_o], axis=1)  # (TILE, 2F)
-    d = jnp.dot(gx, kb_ref[:], preferred_element_type=jnp.float32)
+    d = jnp.dot(gx, kb_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     _overlap_add(
         d[:, :n_fft], carry_re, dre_ref, blk,
         k=k, tile=tile, n_fft=n_fft, hop=hop, lslice=lslice, seg=seg,
@@ -211,6 +214,9 @@ def _fwd_impl(re, im, cos, sin, hop, eps, fftshift, center):
     re_p, im_p = _pad_signal(re, im, t_sig, n_fft, center)
     kf, _ = _pack_bases(cos, sin, f, fftshift)
     interpret = jax.default_backend() == "cpu"
+    # signal rows carry a singleton sublane axis so the per-row block's
+    # dim -2 equals the array's (Mosaic requires block dims -2/-1 to be
+    # (8, 128)-divisible or full)
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, k=k, tile=tile, n_fft=n_fft, hop=hop,
@@ -218,8 +224,8 @@ def _fwd_impl(re, im, cos, sin, hop, eps, fftshift, center):
         ),
         grid=(n, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, t_sig), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, t_sig), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, t_sig), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, t_sig), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((2 * n_fft, 2 * f), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile, f), lambda i, j: (i, j, 0)),
@@ -227,7 +233,7 @@ def _fwd_impl(re, im, cos, sin, hop, eps, fftshift, center):
             (n, n_blocks * tile, f), jnp.float32
         ),
         interpret=interpret,
-    )(re_p, im_p, kf)
+    )(re_p[:, None], im_p[:, None], kf)
     # (N, frames, F) -> the XLA path's (N, F, frames)
     return jnp.swapaxes(out[:, :frames, :], 1, 2)
 
@@ -260,26 +266,30 @@ def _vjp_bwd(hop, eps, fftshift, center, residuals, g):
         ),
         grid=(n, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, t_sig), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, t_sig), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, t_sig), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, t_sig), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((2 * n_fft, 2 * f), lambda i, j: (0, 0)),
             pl.BlockSpec((2 * f, 2 * n_fft), lambda i, j: (0, 0)),
             pl.BlockSpec((1, tile, f), lambda i, j: (i, j, 0)),
         ],
+        # per-block signal-gradient rows also ride a singleton sublane
+        # axis (same Mosaic block-shape rule as the forward's inputs)
         out_specs=[
-            pl.BlockSpec((1, seg), lambda i, j: (i, j)),
-            pl.BlockSpec((1, seg), lambda i, j: (i, j)),
+            pl.BlockSpec((1, 1, 1, seg), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, seg), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, n_blocks * seg), jnp.float32),
-            jax.ShapeDtypeStruct((n, n_blocks * seg), jnp.float32),
+            jax.ShapeDtypeStruct((n, n_blocks, 1, seg), jnp.float32),
+            jax.ShapeDtypeStruct((n, n_blocks, 1, seg), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, spill), jnp.float32),
             pltpu.VMEM((1, spill), jnp.float32),
         ],
         interpret=interpret,
-    )(re_p, im_p, kf, kb, g_fr)
+    )(re_p[:, None], im_p[:, None], kf, kb, g_fr)
+    dre_p = dre_p.reshape(n, n_blocks * seg)
+    dim_p = dim_p.reshape(n, n_blocks * seg)
 
     def unpad(dp):
         t_pad = t + (n_fft if center else 0)
