@@ -107,9 +107,13 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--steps-per-dispatch", type=int, default=1,
         help="scan this many optimizer steps per device dispatch "
-        "(lax.scan over pre-staged batches). Amortizes the per-step "
-        "host->device round trip; step-for-step equivalent to 1 "
-        "(tests/test_parallel.py). 1 = reference-style per-batch calls",
+        "(lax.scan over pre-staged batches); step-for-step equivalent "
+        "to 1 (tests/test_parallel.py). The r5 hardware sweep "
+        "(runs/dispatch_sweep.json) measured K=1 FASTEST at B=16 "
+        "(209.7 vs 179.9 at K=4, 128.8 at K=16): async dispatch "
+        "already pipelines single steps, while K-grouping serializes a "
+        "K-batch host stack + bulk transfer in front of the scan. "
+        "Raise K only if per-dispatch latency dominates your link",
     )
     parser.add_argument(
         "--dtype", default="float32", choices=["float32", "bfloat16"],
