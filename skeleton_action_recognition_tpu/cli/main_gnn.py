@@ -119,6 +119,16 @@ def get_parser() -> argparse.ArgumentParser:
         "--dtype", default="float32", choices=["float32", "bfloat16"],
         help="compute dtype for matmul-heavy layers (params stay f32)",
     )
+    parser.add_argument(
+        "--precision", default="default",
+        choices=["default", "high", "highest"],
+        help="XLA matmul precision for f32 operands "
+        "(jax_default_matmul_precision). TPU MXU passes f32 matmuls "
+        "through bf16 multipliers at 'default'; 'highest' runs "
+        "3-pass f32-exact math like the reference's CPU/GPU conv "
+        "kernels, at a throughput cost. Numerics knob for "
+        "reference-trajectory comparisons (scripts/reference_duel.py)",
+    )
     # NB: the fused temporal-conv kernel (ops/pallas/tconv.py) stays
     # available on the model as `fused_tconv=True` for experiments, but
     # is deliberately NOT a CLI flag: it measures 25% SLOWER end-to-end
@@ -153,12 +163,18 @@ def build_log_dir(arg) -> str:
         "num_epochs", "fused_sgcn_min_channels", "steps_per_dispatch",
     ):
         run_params.pop(k, None)
+    # keep pre-flag run names stable (resume compatibility): the
+    # precision knob names the run only when it deviates
+    if run_params.get("precision") == "default":
+        run_params.pop("precision")
     name = config_lib.run_name_from_args(run_params, notes=arg.notes)
     return os.path.join(arg.log_dir, name)
 
 
 def main(argv=None):
     arg = get_parser().parse_args(argv)
+    if arg.precision != "default":
+        jax.config.update("jax_default_matmul_precision", arg.precision)
     parallel.mesh.maybe_initialize_distributed()
     mesh = parallel.create_mesh()
     dp = parallel.DataParallel(mesh)

@@ -84,3 +84,15 @@ def test_reference_command_lines_parse():
          "--lr_cycle", "10"]
     )
     assert spec.model_type == "resnet" and spec.lambda_train_epoch == 5
+
+
+def test_precision_flag_parses_and_names_runs_stably():
+    """--precision default must not change run names (resume compat for
+    runs created before the flag existed); non-default must name the
+    run so arms of a numerics A/B land in distinct dirs."""
+    base = ["--model", "stgcn", "--notes", "p"]
+    d = main_gnn.get_parser().parse_args(base)
+    h = main_gnn.get_parser().parse_args(base + ["--precision", "highest"])
+    assert d.precision == "default" and h.precision == "highest"
+    assert "precision" not in main_gnn.build_log_dir(d)
+    assert "precision:highest" in main_gnn.build_log_dir(h)
