@@ -172,14 +172,17 @@ def prepare_reference(workdir):
 
 
 def train_ours(xview, args, seed, runlog):
-    art = os.path.join(args.workdir, f"ours_s{seed}.json")
+    tag = "" if args.ours_precision == "default" else (
+        f"_{args.ours_precision}"
+    )
+    art = os.path.join(args.workdir, f"ours{tag}_s{seed}.json")
     if os.path.exists(art):
         with open(art) as f:
             rec = json.load(f)
         print(f"ours seed {seed}: reusing {art} "
               f"(tail3 {tail_mean(rec['val_top1']):.4f})")
         return rec
-    logs = os.path.join(args.workdir, f"ours_logs_s{seed}")
+    logs = os.path.join(args.workdir, f"ours{tag}_logs_s{seed}")
     stdout, dt = run(
         [sys.executable, "-m",
          "skeleton_action_recognition_tpu.cli.main_gnn",
@@ -192,7 +195,8 @@ def train_ours(xview, args, seed, runlog):
          "--test-data-path", os.path.join(xview, "val_data_joint"),
          "--log-dir", logs, "--save-freq", "1000",
          "--steps-per-dispatch", str(args.ours_steps_per_dispatch),
-         "--seed", str(seed), "--notes", f"duel_s{seed}"],
+         "--seed", str(seed), "--notes", f"duel{tag}_s{seed}",
+         "--precision", args.ours_precision],
         runlog,
     )
     traj = [float(m.group(1)) for m in EPOCH_RE.finditer(stdout)]
@@ -260,6 +264,15 @@ def main():
         "per-dispatch RTT dominates small-corpus epochs at K=1 "
         "(accuracy-identical, tests/test_parallel.py)",
     )
+    ap.add_argument(
+        "--ours-precision", default="default",
+        choices=["default", "high", "highest"],
+        help="matmul precision for OUR arm (cli.main_gnn --precision): "
+        "'highest' is f32-exact like the reference's CPU math — the "
+        "apples-to-apples numerics arm; 'default' is the production "
+        "TPU config (bf16 MXU passes). Arm artifacts get a _<precision> "
+        "suffix so both populations coexist in the workdir",
+    )
     ap.add_argument("--workdir", default="/tmp/duel")
     ap.add_argument("--ref-timeout", type=int, default=6 * 3600)
     ap.add_argument("--skip-reference", action="store_true")
@@ -305,6 +318,7 @@ def main():
         "batch_size": args.batch_size,
         "base_lr": args.base_lr,
         "lr_schedule": "constant (see module docstring)",
+        "ours_precision": args.ours_precision,
     }
     xview = prepare_corpus(
         args.workdir, args.num_classes, args.clips_per_class,
